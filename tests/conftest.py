@@ -1,0 +1,21 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so sharding/collective tests
+run without TPU hardware; Pallas kernels run in interpret mode on CPU
+(backends auto-select based on platform).
+"""
+
+import os
+
+os.environ.setdefault('XLA_FLAGS',
+                      '--xla_force_host_platform_device_count=8')
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+  sys.path.insert(0, str(REPO_ROOT))
+
+CORPUS_DIR = pathlib.Path('/root/reference/tests/src')

@@ -1,0 +1,100 @@
+"""Stencil-core tests.
+
+Mirrors the reference's src/tests/test_core.py contracts: iterate
+validation errors, high-level DAG construction with _iterN clones, plus
+reuse-distance / stencil-window invariants the README documents
+(2-line buffer for a 3x3 on a 2000-wide tile).
+"""
+
+import pytest
+
+from soda_tpu.api import build_stencil
+from soda_tpu.utils import SemanticError
+
+BLUR = '''
+kernel: blur
+burst width: 512
+unroll factor: 16
+input uint16: input(2000, *)
+local uint16: tmp(0,0)=(input(-1,0)+input(0,0)+input(1,0))/3
+output uint16: output(0,0)=(tmp(0,-1)+tmp(0,0)+tmp(0,1))/3
+iterate: 2
+border: preserve
+cluster: none
+'''
+
+
+def test_high_level_dag_construction():
+  stencil = build_stencil(BLUR)
+  tensors = ('input', 'tmp', 'input_iter1', 'tmp_iter1', 'output')
+  assert sorted(stencil.tensors) == sorted(tensors)
+  assert tuple(t.name for t in stencil.chronological_tensors) == tensors
+
+
+def test_iterate_requires_matching_counts():
+  src = BLUR.replace(
+      'input uint16: input(2000, *)',
+      'input uint16: input(2000, *)\ninput uint16: input2(2000, *)')
+  with pytest.raises(SemanticError) as exc:
+    build_stencil(src)
+  assert 'number of input tensors must be the same as output' in str(
+      exc.value)
+
+
+def test_iterate_requires_matching_types():
+  src = BLUR.replace('input uint16: input(2000, *)',
+                     'input half: input(2000, *)')
+  with pytest.raises(SemanticError) as exc:
+    build_stencil(src)
+  assert 'same type(s) as output' in str(exc.value)
+
+
+def test_iterate_must_be_positive():
+  with pytest.raises(SemanticError):
+    build_stencil(BLUR.replace('iterate: 2', 'iterate: 0'))
+
+
+def test_stencil_window_and_distance():
+  # 3x3 window on a 2000-wide tile needs a 2-line buffer:
+  # distance = 2*2000 + 2 (README.md:155-156 in the reference)
+  stencil = build_stencil(BLUR.replace('iterate: 2', 'iterate: 1'))
+  from soda_tpu.core.stencil import get_stencil_dim
+  assert get_stencil_dim(stencil.stencil_window) == [3, 3]
+  assert stencil.stencil_distance == 2 * 2000 + 2
+
+
+def test_iterated_window_grows():
+  stencil = build_stencil(BLUR)
+  from soda_tpu.core.stencil import get_stencil_dim
+  assert get_stencil_dim(stencil.stencil_window) == [5, 5]
+
+
+def test_reuse_offsets_feasible():
+  """Every load must target an already-produced, not-yet-consumed value."""
+  stencil = build_stencil(BLUR)
+  for st in stencil.tensors.values():
+    for ld_name, offsets in st.ld_offsets.items():
+      ld = stencil.tensors[ld_name]
+      newest, oldest = max(offsets), min(offsets)
+      assert ld.produce_offset <= st.produce_offset + (st.st_offset - newest)
+      assert ld.consume_offset >= st.produce_offset + (st.st_offset - oldest)
+
+
+def test_reuse_buffers_cover_unroll():
+  stencil = build_stencil(BLUR.replace('iterate: 2', 'iterate: 1'))
+  for name, buf in stencil.reuse_buffers.items():
+    assert buf[0] >= 1  # buffer capacity
+    assert len(buf) >= 1 + stencil.unroll_factor  # one chain head per PE
+
+
+def test_dram_override():
+  stencil = build_stencil(BLUR, dram_in='1.2', dram_out='3')
+  assert stencil.input_stmts[0].dram == (1, 2)
+  assert stencil.output_stmts[0].dram == (3,)
+
+
+def test_dram_override_named():
+  stencil = build_stencil(BLUR, dram_in='input:0.1')
+  assert stencil.input_stmts[0].dram == (0, 1)
+  with pytest.raises(SemanticError):
+    build_stencil(BLUR, dram_in='nope:0')
