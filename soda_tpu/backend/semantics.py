@@ -1,0 +1,274 @@
+"""Shared evaluation semantics for stencil expressions.
+
+The reference's correctness contract is "bit-exact vs the generated C++
+scalar host" (/root/reference/src/soda/codegen/frt/host.py:558-660): the
+host evaluates each statement expression with C arithmetic — integer
+operands promoted to (u)int32 before arithmetic, truncating division,
+wrap-around only at statement stores and explicit casts — while float
+arithmetic runs at the operands' native precision.
+
+This module implements exactly those semantics once, parameterized over
+the array namespace (``numpy`` for the oracle, ``jax.numpy`` for the XLA
+and Pallas backends), so every executor in the framework shares one
+definition of "what a statement means".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from soda_tpu import utils
+from soda_tpu.ir import nodes as ir
+from soda_tpu.ir.types import Type
+
+# C "usual arithmetic conversions": integer types narrower than int are
+# promoted to int before any arithmetic. (C11 §6.3.1.1; the generated
+# host code at reference frt/host.py:558-624 relies on this.)
+_INT = Type('int32')
+
+
+def promote(t: Type) -> Type:
+  """C integer promotion: sub-int widths widen to int32."""
+  if t.is_float:
+    return t
+  if t.width_in_bits < 32:
+    return _INT
+  # 33..64-bit widths compute in 64-bit storage
+  if t.width_in_bits > 32:
+    return Type('int64' if t.is_signed else 'uint64')
+  return Type('int32' if t.is_signed else 'uint32')
+
+
+def binary_type(a: Optional[Type], b: Optional[Type]) -> Type:
+  """Result type of a C binary arithmetic op after promotion."""
+  if a is None and b is None:
+    return _INT
+  if a is None:
+    return promote(b)
+  if b is None:
+    return promote(a)
+  a, b = promote(a), promote(b)
+  if a.is_float or b.is_float:
+    if not a.is_float:
+      return b
+    if not b.is_float:
+      return a
+    return a if a.width_in_bits >= b.width_in_bits else b
+  if a.width_in_bits == b.width_in_bits:
+    if a.is_signed == b.is_signed:
+      return a
+    return a if not a.is_signed else b  # unsigned wins at equal rank
+  return a if a.width_in_bits > b.width_in_bits else b
+
+
+def wrap(xp, value, dtype: Type):
+  """Convert ``value`` to ``dtype`` with C wrap-around semantics.
+
+  Equivalent to the implicit conversion at a C assignment / ap_int
+  truncation at a store: modular wrap for integers (including
+  non-power-of-two widths), ordinary conversion for floats.
+  """
+  if dtype.is_float:
+    return xp.asarray(value).astype(dtype.np_dtype)
+  value = xp.asarray(value)
+  if value.dtype.kind == 'f':
+    # C float->int conversion truncates toward zero
+    value = xp.trunc(value)
+  if dtype.needs_mask:
+    n = dtype.width_in_bits
+    mask = (1 << n) - 1
+    wide = value.astype('int64' if n < 64 else dtype.np_dtype)
+    wide = wide & mask
+    if dtype.is_signed:
+      sign = 1 << (n - 1)
+      wide = (wide ^ sign) - sign
+    return wide.astype(dtype.np_dtype)
+  return value.astype(dtype.np_dtype)
+
+
+def _as(xp, value, dtype: Type):
+  return xp.asarray(value).astype(dtype.np_dtype)
+
+
+def c_int_div(xp, a, b):
+  """C integer division: truncation toward zero (ISO C99 §6.5.5)."""
+  q = a // b
+  r = a - q * b
+  # floor and trunc differ iff remainder != 0 and signs differ
+  fix = (r != 0) & ((a < 0) != (b < 0))
+  return q + fix.astype(q.dtype)
+
+
+def c_int_mod(xp, a, b):
+  """C % : remainder with the sign of the dividend."""
+  return a - c_int_div(xp, a, b) * b
+
+
+class Evaluator:
+  """Evaluate one statement expression under C semantics.
+
+  Args:
+    xp: array namespace (numpy or jax.numpy).
+    load: callback ``load(ref: ir.Ref) -> array`` producing the (already
+      shifted/sliced) value of a tensor access. All arrays a single
+      statement loads must be shape-broadcastable against each other.
+    env: name -> value for ``let`` bindings and scalar vars.
+    param: optional callback ``param(name, idx) -> array`` for kernel
+      parameter element access.
+    intrinsics: optional overrides for intrinsic call implementations.
+  """
+
+  def __init__(self, xp, load: Callable[[ir.Ref], Any],
+               env: Optional[Dict[str, Tuple[Any, Optional[Type]]]] = None,
+               param: Optional[Callable[[str, Tuple[int, ...]], Any]] = None):
+    self.xp = xp
+    self.load = load
+    self.env = dict(env or {})
+    self.param = param
+
+  def bind(self, name: str, value, dtype: Optional[Type]) -> None:
+    self.env[name] = (value, dtype)
+
+  def eval_stmt(self, tensor_or_stmt):
+    """Evaluate lets then the expression; returns (value, dtype)."""
+    lets = getattr(tensor_or_stmt, 'lets', None)
+    if lets is None:
+      lets = getattr(tensor_or_stmt, 'let', ())
+    for let in lets:
+      value, dtype = self.eval(let.expr)
+      if let.dtype is not None:
+        value = wrap(self.xp, value, let.dtype)
+        dtype = let.dtype
+      self.bind(let.name, value, dtype)
+    return self.eval(tensor_or_stmt.expr)
+
+  # -- expression dispatch ----------------------------------------------------
+  def eval(self, node: ir.Node) -> Tuple[Any, Optional[Type]]:
+    xp = self.xp
+    if isinstance(node, ir.Num):
+      # untyped int literals participate in promotion lazily (dtype None)
+      return node.value, node.dtype
+    if isinstance(node, ir.Ref):
+      return self.load(node), node.dtype
+    if isinstance(node, ir.Var):
+      if node.idx:
+        if self.param is None:
+          raise utils.InternalError('no param accessor for %s' % node)
+        return self.param(node.name, tuple(node.idx)), node.dtype
+      if node.name not in self.env:
+        raise utils.InternalError('unbound variable: %s' % node.name)
+      return self.env[node.name]
+    if isinstance(node, ir.Cast):
+      value, _ = self.eval(node.expr)
+      return wrap(xp, value, node.dtype), node.dtype
+    if isinstance(node, ir.Unary):
+      value, dtype = self.eval(node.operand)
+      for op in reversed(node.operator):
+        if op == '-':
+          value = -value
+        elif op == '~':
+          value = ~value
+        elif op == '!':
+          value = xp.logical_not(value)
+          dtype = Type('uint1')
+        elif op == '+':
+          pass
+        else:
+          raise utils.InternalError('unknown unary operator: %s' % op)
+      return value, dtype
+    if isinstance(node, ir.Call):
+      return self._eval_call(node)
+    if isinstance(node, ir.CHAIN_CLASSES):
+      return self._eval_chain(node)
+    raise utils.InternalError('cannot evaluate %r' % node)
+
+  def _coerce_pair(self, av, at, bv, bt):
+    """Bring two operands to their common C arithmetic type."""
+    xp = self.xp
+    out = binary_type(at, bt)
+    return _as(xp, av, out), _as(xp, bv, out), out
+
+  def _eval_chain(self, node) -> Tuple[Any, Optional[Type]]:
+    xp = self.xp
+    values_types = [self.eval(o) for o in node.operand]
+    acc, acc_t = values_types[0]
+    for (val, val_t), op in zip(values_types[1:], node.operator):
+      acc, val, out = self._coerce_pair(acc, acc_t, val, val_t)
+      if op == '+':
+        acc = acc + val
+      elif op == '-':
+        acc = acc - val
+      elif op == '*':
+        acc = acc * val
+      elif op == '/':
+        acc = (acc / val) if out.is_float else c_int_div(xp, acc, val)
+      elif op == '%':
+        acc = c_int_mod(xp, acc, val)
+      elif op == '&':
+        acc = acc & val
+      elif op == '|':
+        acc = acc | val
+      elif op == '^':
+        acc = acc ^ val
+      elif op == '==':
+        acc, out = acc == val, Type('uint1')
+      elif op == '!=':
+        acc, out = acc != val, Type('uint1')
+      elif op == '<':
+        acc, out = acc < val, Type('uint1')
+      elif op == '<=':
+        acc, out = acc <= val, Type('uint1')
+      elif op == '>':
+        acc, out = acc > val, Type('uint1')
+      elif op == '>=':
+        acc, out = acc >= val, Type('uint1')
+      elif op == '&&':
+        acc, out = xp.logical_and(acc, val), Type('uint1')
+      elif op == '||':
+        acc, out = xp.logical_or(acc, val), Type('uint1')
+      else:
+        raise utils.InternalError('unknown operator: %s' % op)
+      acc_t = out
+    return acc, acc_t
+
+  def _eval_call(self, node: ir.Call) -> Tuple[Any, Optional[Type]]:
+    xp = self.xp
+    name = node.name
+    args = [self.eval(o) for o in node.operand]
+    if name in ('min', 'max'):
+      fn = xp.minimum if name == 'min' else xp.maximum
+      acc, acc_t = args[0]
+      for val, val_t in args[1:]:
+        acc, val, acc_t = self._coerce_pair(acc, acc_t, val, val_t)
+        acc = fn(acc, val)
+      return acc, acc_t
+    if name == 'select':
+      cond = args[0][0]
+      av, at = args[1]
+      bv, bt = args[2]
+      av, bv, out = self._coerce_pair(av, at, bv, bt)
+      return xp.where(cond, av, bv), out
+    if name == 'abs':
+      val, t = args[0]
+      return xp.abs(val), t
+    if name == 'pow':
+      (av, at), (bv, bt) = args
+      out = binary_type(at, bt)
+      if not out.is_float:
+        out = Type('float')
+      return xp.power(_as(xp, av, out), _as(xp, bv, out)), out
+    # unary float intrinsics: ints promote to float32 (C float overload)
+    val, t = args[0]
+    out = t if (t is not None and t.is_float) else Type('float')
+    val = _as(xp, val, out)
+    table = {
+        'sqrt': xp.sqrt, 'rsqrt': lambda x: 1 / xp.sqrt(x), 'exp': xp.exp,
+        'log': xp.log, 'sin': xp.sin, 'cos': xp.cos, 'tan': xp.tan,
+        'tanh': xp.tanh, 'floor': xp.floor, 'ceil': xp.ceil,
+        'round': xp.round,
+    }
+    if name not in table:
+      raise utils.InternalError('unknown intrinsic: %s' % name)
+    return table[name](val), out
+
+
