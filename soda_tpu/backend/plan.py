@@ -1,0 +1,170 @@
+"""Fusion planning: the TPU-native analog of the reference's dataflow layer.
+
+The reference lowers a Stencil into an explicit FIFO module graph
+(/root/reference/src/soda/dataflow.py) because its target is a spatial
+dataflow architecture. On TPU, all of that machinery collapses into a
+*fusion plan*: a chronological stage schedule (one stage per non-input
+tensor), per-stage load-offset/margin tables that drive shifted reads,
+and a grouping of stages into kernels controlled by the ``cluster``
+granularity knob (reference cluster.py:51-202 — here a backend fusion
+decision rather than an IR rewrite):
+
+  - ``none`` / ``full``: every stage fused into ONE kernel (values flow
+    through registers/VMEM where the reference used FIFOs).
+  - ``coarse``: one kernel per stage (debugging / VMEM pressure).
+  - ``fine``: like coarse but splits the lane dimension into
+    ``unroll_factor`` independent column groups per stage.
+
+Array-axis convention (used by every executor in this package): public
+arrays are indexed in REVERSED DSL-dimension order — DSL dimension 0
+(the contiguous, stride-1 dimension of the reference's column-major
+serialization, soda/util.py:9) is the minor-most array axis, and the
+streaming dimension (`*`) is axis 0. This maps the streaming dimension
+onto TPU sublane blocks and dimension 0 onto the 128-wide lane axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from soda_tpu.core import stencil as core
+from soda_tpu.core.tensor import Tensor
+
+
+def stage_margins(stencil, tensor: Tensor
+                  ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+  """Per-DSL-dimension (lo, hi) margins outside which ``tensor`` is
+  undefined; mirrors the reference CPU-check loop bounds
+  (frt/host.py:566-577): locals use the window w.r.t. direct parents,
+  outputs the overall window w.r.t. the original inputs."""
+  dim = len(stencil.tile_size)
+  if tensor.is_input():
+    return (0,) * dim, (0,) * dim
+  if tensor.is_output():
+    sources = tuple(map(stencil.tensors.get, stencil.input_names))
+  else:
+    sources = tuple(tensor.parents.values())
+  window = core.get_overall_stencil_window(sources, tensor)
+  stencil_dim = core.get_stencil_dim(window)
+  offset = core.get_stencil_window_offset(window)
+  lo = tuple(max(0, offset[d]) for d in range(len(stencil_dim)))
+  hi = tuple(
+      max(0, stencil_dim[d] - offset[d] - 1) for d in range(len(stencil_dim)))
+  return lo, hi
+
+
+@dataclasses.dataclass
+class Stage:
+  """One producible tensor with its load-offset table."""
+  tensor: Tensor
+  lo: Tuple[int, ...]  # DSL-dim order
+  hi: Tuple[int, ...]
+  # parent name -> tuple of load offsets relative to the store index
+  # (DSL-dim order); these are the shifts each read applies.
+  load_offsets: Dict[str, Tuple[Tuple[int, ...], ...]] = \
+      dataclasses.field(default_factory=dict)
+
+  @property
+  def name(self) -> str:
+    return self.tensor.name
+
+  @property
+  def dtype(self):
+    return self.tensor.dtype
+
+  def rel_offset(self, ref_idx: Sequence[int]) -> Tuple[int, ...]:
+    st = self.tensor.st_idx
+    return tuple(i - s for i, s in zip(ref_idx, st))
+
+
+@dataclasses.dataclass
+class FusionPlan:
+  """Stage schedule + kernel grouping for one stencil."""
+  stencil: object
+  stages: List[Stage]
+  groups: List[List[Stage]]  # kernels, in execution order
+  halo_lo: Tuple[int, ...]  # overall input halo (DSL-dim order)
+  halo_hi: Tuple[int, ...]
+
+  @property
+  def dim(self) -> int:
+    return len(self.halo_lo)
+
+  def stage(self, name: str) -> Stage:
+    for s in self.stages:
+      if s.name == name:
+        return s
+    raise KeyError(name)
+
+  # -- resource estimation (the analog of FIFO-depth accounting) --------------
+  def vmem_bytes(self, block_shape: Sequence[int]) -> int:
+    """Estimated VMEM bytes for one fused-kernel block of
+    ``block_shape`` (array-axis order), counting each stage's slab plus
+    its halo margins. The analog of the reference's FIFO-depth ILP
+    objective sum(width x depth) (dataflow.py:132-166)."""
+    total = 0
+    shape_dsl = tuple(reversed(tuple(block_shape)))
+    for stage in self.stages:
+      cells = 1
+      for d in range(len(shape_dsl)):
+        cells *= shape_dsl[d] + stage.lo[d] + stage.hi[d]
+      total += cells * stage.dtype.width_in_bytes
+    for name in self.stencil.input_names:
+      cells = 1
+      for d, extent in enumerate(shape_dsl):
+        cells *= extent + self.halo_lo[d] + self.halo_hi[d]
+      total += cells * self.stencil.symbol_table[name].width_in_bytes
+    return total
+
+  def dot(self) -> str:
+    """Graphviz dump of the stage DAG (observability parity with the
+    reference's SuperSourceNode graphviz hook, dataflow.py:36-41)."""
+    lines = ['digraph stages {']
+    for name in self.stencil.input_names:
+      lines.append('  "%s" [shape=box];' % name)
+    for group_id, group in enumerate(self.groups):
+      for stage in group:
+        lines.append('  "%s" [label="%s\\n%s kernel %d"];' %
+                     (stage.name, stage.name, stage.dtype, group_id))
+        for parent in stage.tensor.parents:
+          lines.append('  "%s" -> "%s";' % (parent, stage.name))
+    lines.append('}')
+    return '\n'.join(lines)
+
+
+def make_plan(stencil, cluster: Optional[str] = None) -> FusionPlan:
+  """Build the fusion plan for ``stencil``.
+
+  ``cluster`` overrides the stencil's cluster directive; ``none`` and
+  ``full`` both mean one fused kernel (on TPU fusion is the default —
+  the reference's ``none`` kept modules separate because FIFOs were
+  free on an FPGA; on TPU separate kernels round-trip HBM).
+  """
+  cluster = cluster or stencil.cluster or 'none'
+  stages: List[Stage] = []
+  for tensor in stencil.chronological_tensors:
+    if tensor.is_input():
+      continue
+    lo, hi = stage_margins(stencil, tensor)
+    stage = Stage(tensor=tensor, lo=lo, hi=hi)
+    for parent_name, refs in tensor.ld_refs.items():
+      stage.load_offsets[parent_name] = tuple(
+          stage.rel_offset(ref.idx) for ref in refs)
+    stages.append(stage)
+
+  if cluster in ('none', 'full'):
+    groups = [list(stages)]
+  elif cluster in ('coarse', 'fine'):
+    groups = [[s] for s in stages]
+  else:
+    raise ValueError('unknown cluster granularity: %s' % cluster)
+
+  out = stencil.tensors[stencil.output_names[0]]
+  halo_lo, halo_hi = stage_margins(stencil, out)
+  for name in stencil.output_names[1:]:
+    lo2, hi2 = stage_margins(stencil, stencil.tensors[name])
+    halo_lo = tuple(map(max, halo_lo, lo2))
+    halo_hi = tuple(map(max, halo_hi, hi2))
+  return FusionPlan(stencil=stencil, stages=stages, groups=groups,
+                    halo_lo=halo_lo, halo_hi=halo_hi)

@@ -7,11 +7,11 @@ chronological order over the full grid, each one restricted to its own
 valid region computed from the overall stencil window, with C arithmetic
 semantics (see soda_tpu.backend.semantics).
 
-Index convention: arrays are indexed ``a[i0, i1, ..., i_{dim-1}]`` where
-``i_d`` is DSL dimension ``d`` (dimension 0 first, streaming dimension
-last) — identical to the logical indexing of the DSL. Cells outside a
-tensor's valid region stay zero (the reference's host buffers are
-value-initialized, host.py:476).
+Array-axis convention (see soda_tpu.backend.plan): arrays are indexed in
+reversed DSL-dimension order — ``a[i_{dim-1}, ..., i_1, i_0]`` with the
+streaming dimension as axis 0 and DSL dimension 0 minor-most. Cells
+outside a tensor's valid region stay zero (the reference's host buffers
+are value-initialized, host.py:476).
 """
 
 from __future__ import annotations
@@ -22,42 +22,26 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.backend import semantics
-from soda_tpu.core import stencil as core
+from soda_tpu.backend.plan import stage_margins
 from soda_tpu.core.tensor import Tensor
 from soda_tpu.ir import nodes as ir
 
 
-def tensor_valid_margins(stencil, tensor: Tensor
-                         ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
-  """Per-dimension (lo, hi) margins outside which ``tensor`` is undefined.
-
-  Mirrors the loop bounds of the reference CPU check
-  (frt/host.py:566-577): locals use the window w.r.t. their direct
-  parents; outputs use the overall window w.r.t. the original inputs.
-  """
-  if tensor.is_input():
-    dim = len(stencil.tile_size)
-    return (0,) * dim, (0,) * dim
-  if tensor.is_output():
-    sources = tuple(map(stencil.tensors.get, stencil.input_names))
-  else:
-    sources = tuple(tensor.parents.values())
-  window = core.get_overall_stencil_window(sources, tensor)
-  stencil_dim = core.get_stencil_dim(window)
-  offset = core.get_stencil_window_offset(window)
-  lo = tuple(max(0, offset[d]) for d in range(len(stencil_dim)))
-  hi = tuple(
-      max(0, stencil_dim[d] - offset[d] - 1) for d in range(len(stencil_dim)))
-  return lo, hi
-
-
-def output_valid_slices(stencil, dims: Tuple[int, ...],
-                        name: Optional[str] = None) -> Tuple[slice, ...]:
-  """Slices of the valid (comparable) region of an output tensor."""
-  tensor = stencil.tensors[name or stencil.output_names[0]]
-  lo, hi = tensor_valid_margins(stencil, tensor)
+def _axis_slices(lo: Tuple[int, ...], hi: Tuple[int, ...],
+                 shape: Tuple[int, ...]) -> Tuple[slice, ...]:
+  """DSL-dim margins -> array-axis slices (axes are reversed DSL dims)."""
+  dim = len(lo)
   return tuple(
-      slice(lo[d], dims[d] - hi[d]) for d in range(len(dims)))
+      slice(lo[dim - 1 - a], shape[a] - hi[dim - 1 - a])
+      for a in range(dim))
+
+
+def output_valid_slices(stencil, shape: Tuple[int, ...],
+                        name: Optional[str] = None) -> Tuple[slice, ...]:
+  """Array-axis slices of the valid (comparable) region of an output."""
+  tensor = stencil.tensors[name or stencil.output_names[0]]
+  lo, hi = stage_margins(stencil, tensor)
+  return _axis_slices(lo, hi, shape)
 
 
 class ReferenceExecutor:
@@ -80,38 +64,38 @@ class ReferenceExecutor:
     stencil = self.stencil
     params = dict(params or {})
     arrays: Dict[str, np.ndarray] = {}
-    dims: Optional[Tuple[int, ...]] = None
+    shape: Optional[Tuple[int, ...]] = None
     for name in stencil.input_names:
       if name not in inputs:
         raise utils.InputError('missing input: %s' % name)
       arr = np.asarray(inputs[name])
       dtype = stencil.symbol_table[name]
       arrays[name] = semantics.wrap(np, arr, dtype)
-      if dims is None:
-        dims = arr.shape
-      elif arr.shape != dims:
+      if shape is None:
+        shape = arr.shape
+      elif arr.shape != shape:
         raise utils.InputError(
-            'input %s shape %s != %s' % (name, arr.shape, dims))
-    assert dims is not None
-    if len(dims) != len(stencil.tile_size):
+            'input %s shape %s != %s' % (name, arr.shape, shape))
+    assert shape is not None
+    if len(shape) != len(stencil.tile_size):
       raise utils.InputError(
           'expected %d-D input, got %d-D' % (len(stencil.tile_size),
-                                             len(dims)))
+                                             len(shape)))
 
     for tensor in stencil.chronological_tensors:
       if tensor.is_input():
         continue
-      arrays[tensor.name] = self._produce(tensor, arrays, params, dims)
+      arrays[tensor.name] = self._produce(tensor, arrays, params, shape)
 
     if return_locals:
       return arrays
     return {name: arrays[name] for name in stencil.output_names}
 
-  def _produce(self, tensor: Tensor, arrays, params, dims) -> np.ndarray:
+  def _produce(self, tensor: Tensor, arrays, params, shape) -> np.ndarray:
     stencil = self.stencil
-    lo, hi = tensor_valid_margins(stencil, tensor)
-    region = tuple(
-        slice(lo[d], dims[d] - hi[d]) for d in range(len(dims)))
+    dim = len(shape)
+    lo, hi = stage_margins(stencil, tensor)
+    region = _axis_slices(lo, hi, shape)
     st_idx = tensor.st_idx
 
     def load(ref: ir.Ref):
@@ -119,9 +103,9 @@ class ReferenceExecutor:
         return params[ref.name][tuple(ref.idx)]
       src = arrays[ref.name]
       window = tuple(
-          slice(region[d].start + ref.idx[d] - st_idx[d],
-                region[d].stop + ref.idx[d] - st_idx[d])
-          for d in range(len(dims)))
+          slice(region[a].start + ref.idx[dim - 1 - a] - st_idx[dim - 1 - a],
+                region[a].stop + ref.idx[dim - 1 - a] - st_idx[dim - 1 - a])
+          for a in range(dim))
       return src[window]
 
     def param(name, idx):
@@ -129,7 +113,7 @@ class ReferenceExecutor:
 
     evaluator = semantics.Evaluator(np, load, param=param)
     value, _ = evaluator.eval_stmt(tensor)
-    out = np.zeros(dims, dtype=tensor.dtype.np_dtype)
+    out = np.zeros(shape, dtype=tensor.dtype.np_dtype)
     out[region] = semantics.wrap(np, value, tensor.dtype)
     return out
 
@@ -138,22 +122,23 @@ def run(stencil, inputs, params=None, **kwargs) -> Dict[str, np.ndarray]:
   return ReferenceExecutor(stencil).run(inputs, params, **kwargs)
 
 
-def make_test_inputs(stencil, dims: Tuple[int, ...],
+def make_test_inputs(stencil, shape: Tuple[int, ...],
                      seed: int = 0) -> Dict[str, np.ndarray]:
-  """Generate inputs like the reference self-test does: ``p+q+...`` ramps
-  for integer tensors, uniform [0, 1) for floats (frt/host.py:513-528)."""
+  """Generate inputs like the reference self-test does: coordinate-sum
+  ramps for integer tensors, uniform [0, 1) for floats
+  (frt/host.py:513-528)."""
   rng = np.random.default_rng(seed)
   inputs: Dict[str, np.ndarray] = {}
   for name in stencil.input_names:
     dtype = stencil.symbol_table[name]
     if dtype.is_float:
-      inputs[name] = rng.random(dims).astype(dtype.np_dtype)
+      inputs[name] = rng.random(shape).astype(dtype.np_dtype)
     else:
-      ramp = np.zeros(dims, dtype=np.int64)
-      for d in range(len(dims)):
-        shape = [1] * len(dims)
-        shape[d] = dims[d]
-        ramp = ramp + np.arange(dims[d], dtype=np.int64).reshape(shape)
+      ramp = np.zeros(shape, dtype=np.int64)
+      for a in range(len(shape)):
+        axes = [1] * len(shape)
+        axes[a] = shape[a]
+        ramp = ramp + np.arange(shape[a], dtype=np.int64).reshape(axes)
       inputs[name] = semantics.wrap(np, ramp, dtype)
   return inputs
 
@@ -167,9 +152,9 @@ def make_test_params(stencil, seed: int = 1):
       params[stmt.name] = rng.random(size).astype(stmt.dtype.np_dtype)
     else:
       ramp = np.zeros(size, dtype=np.int64)
-      for d in range(len(size)):
-        shape = [1] * len(size)
-        shape[d] = size[d]
-        ramp = ramp + np.arange(size[d], dtype=np.int64).reshape(shape)
+      for a in range(len(size)):
+        axes = [1] * len(size)
+        axes[a] = size[a]
+        ramp = ramp + np.arange(size[a], dtype=np.int64).reshape(axes)
       params[stmt.name] = semantics.wrap(np, ramp, stmt.dtype)
   return params

@@ -248,20 +248,21 @@ CORPUS: Dict[str, str] = {
     'xcorr': XCORR,
 }
 
-# Small grid shapes for functional tests (streaming dim last). Big
-# benchmark shapes live in bench.py.
+# Small array shapes for functional tests, in array-axis order
+# (reversed DSL dims: streaming dimension first, DSL dim 0 last/minor).
+# Big benchmark shapes live in bench.py.
 TEST_DIMS: Dict[str, Tuple[int, ...]] = {
-    'blur': (64, 40),
-    'contrast': (64, 40),
-    'denoise2d': (32, 24),
-    'denoise3d': (32, 32, 12),
-    'erosion': (64, 40),
-    'heat3d': (32, 32, 12),
-    'jacobi2d': (32, 24),
-    'jacobi3d': (32, 32, 12),
-    'seidel2d': (32, 24),
-    'sobel2d': (32, 24),
-    'xcorr': (64, 40),
+    'blur': (40, 64),
+    'contrast': (40, 64),
+    'denoise2d': (24, 32),
+    'denoise3d': (12, 32, 32),
+    'erosion': (40, 64),
+    'heat3d': (12, 32, 32),
+    'jacobi2d': (24, 32),
+    'jacobi3d': (12, 32, 32),
+    'seidel2d': (24, 32),
+    'sobel2d': (24, 32),
+    'xcorr': (40, 64),
 }
 
 # tile-size overrides so functional tests can run small grids for the
