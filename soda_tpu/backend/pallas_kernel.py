@@ -1,0 +1,366 @@
+"""Fused Pallas stencil kernel: the flagship TPU compute path.
+
+One ``pl.pallas_call`` executes the ENTIRE multi-stage stencil pipeline
+(the reference would instantiate a network of line-buffer/compute
+modules connected by FIFOs — ICCAD'18 microarchitecture,
+dataflow.py:336-625; here the line buffer is a VMEM slab and every FIFO
+is a register/VMEM shift):
+
+  - The grid walks the streaming dimension (array axis 0) in blocks of
+    ``block_rows`` rows.
+  - Inputs stay in HBM; a double-buffered async DMA streams slabs of
+    ``block_rows + halo`` rows into VMEM scratch, overlapping the next
+    block's loads with compute — the analog of the reference's burst
+    read pipelining (hls_kernel.py:238-327). DMA starts are rounded
+    down to the sublane tile (Mosaic requires provably aligned
+    streaming-dim offsets); the sub-tile residue is realigned in
+    registers with a dynamic rotate before the blocked output store.
+  - Every stage is evaluated over full slab coordinates with static
+    ``jnp.roll`` shifts standing in for reuse-buffer reads; wrap-around
+    contamination lands only in cells outside the tensor's valid region
+    (same cells the reference leaves undefined under ``border: ignore``).
+  - ``iterate > 1`` pipelines arrive pre-unrolled in the tensor DAG, so
+    temporal blocking comes for free: the input is read from HBM once
+    for ALL sweeps (the reference equivalent is the deepened pipeline of
+    core.py:320-354).
+
+The streaming extent is padded to a multiple of the sublane tile on the
+host when necessary (outputs are cropped back). Grid-shape contract
+matches the other executors: arrays indexed in reversed DSL-dim order,
+outputs only defined on the valid region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from soda_tpu import utils
+from soda_tpu.backend import semantics
+from soda_tpu.backend.plan import FusionPlan, make_plan
+from soda_tpu.ir import nodes as ir
+
+# VMEM budget for choosing block_rows (bytes); leaves headroom out of
+# ~16 MB for Mosaic's own temporaries.
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+# Sublane tile: streaming-dim DMA offsets must be multiples of this.
+_ALIGN = 8
+
+
+def _pad_to(x: int, m: int) -> int:
+  return (x + m - 1) // m * m
+
+
+def _padded_cells(shape: Tuple[int, ...]) -> int:
+  """VMEM footprint cells of an array shape after (8, 128) tiling."""
+  if len(shape) == 1:
+    return _pad_to(shape[0], 128)
+  padded = list(shape)
+  padded[-1] = _pad_to(padded[-1], 128)
+  padded[-2] = _pad_to(padded[-2], 8)
+  return int(np.prod(padded))
+
+
+def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
+                      budget: int = _VMEM_BUDGET) -> int:
+  """Largest power-of-two block_rows whose slab working set fits the
+  VMEM budget — the analog of the reference's FIFO-depth solve
+  (dataflow.py:94-176) for the fused-kernel world."""
+  dim = plan.dim
+  lo = _pad_to(plan.halo_lo[dim - 1], _ALIGN)
+  hi = plan.halo_hi[dim - 1]
+  rest = shape[1:]
+  best = 8
+  for b in (8, 16, 32, 64, 128, 256, 512, 1024):
+    s = _pad_to(b + lo + hi, _ALIGN)
+    total = 0
+    for name in plan.stencil.input_names:
+      esize = plan.stencil.symbol_table[name].width_in_bytes
+      total += 2 * _padded_cells((s,) + rest) * esize
+    for stage in plan.stages:
+      # stages materialize at compute width (>= 4 bytes) transiently
+      total += _padded_cells((s,) + rest) * max(
+          4, stage.dtype.width_in_bytes)
+    if total <= budget:
+      best = b
+    else:
+      break
+  return best
+
+
+class PallasExecutor:
+  """Compile a stencil into one fused Pallas TPU kernel.
+
+  Args:
+    stencil: a core.Stencil.
+    shape: full array shape (array-axis order, streaming axis first).
+    block_rows: streaming-dim block size (default: VMEM-budget driven).
+    interpret: force interpreter mode (default: auto — interpret
+      everywhere except on real TPU backends).
+  """
+
+  def __init__(self, stencil, shape: Tuple[int, ...],
+               block_rows: Optional[int] = None,
+               interpret: Optional[bool] = None):
+    import jax
+    self.stencil = stencil
+    self.shape = tuple(shape)
+    self.plan = make_plan(stencil, 'full')
+    if len(self.shape) != self.plan.dim:
+      raise utils.InputError('expected %d-D arrays, got %d-D' %
+                             (self.plan.dim, len(self.shape)))
+    if interpret is None:
+      interpret = jax.default_backend() != 'tpu'
+    self.interpret = interpret
+
+    dim = self.plan.dim
+    # halo below is rounded to the sublane tile so interior slab starts
+    # (i*b - lo) stay tile-aligned for the DMA engine
+    self.lo = _pad_to(self.plan.halo_lo[dim - 1], _ALIGN)
+    self.hi = self.plan.halo_hi[dim - 1]
+    h = self.shape[0]
+    # Mosaic DMA slices require tile-aligned shapes: lane dim to 128,
+    # sublane dim to 8. Non-aligned grids are padded on device and
+    # cropped back (the padding lives in the invalid border region).
+    rest = list(self.shape[1:])
+    rest[-1] = _pad_to(rest[-1], 128)
+    if len(rest) >= 2:
+      rest[-2] = _pad_to(rest[-2], _ALIGN)
+    self.rest_pad = tuple(rest)
+    b = block_rows or choose_block_rows(self.plan, self.shape)
+    # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
+    # from clipping at the top
+    b = _pad_to(max(b, self.lo, self.hi + 1), _ALIGN)
+    # padding the streaming extent to a block multiple makes every
+    # block's slab offset static (first / interior / tail)
+    self.h_pad = _pad_to(h, b)
+    slab = _pad_to(b + self.lo + self.hi, _ALIGN)
+    if slab >= self.h_pad or b >= self.h_pad:
+      # tiny grid: single block covering everything
+      b = self.h_pad = _pad_to(h, _ALIGN)
+      self.slab = self.h_pad
+      self.grid = 1
+    else:
+      self.slab = slab
+      self.grid = self.h_pad // b
+    self.block_rows = b
+    self._fn = jax.jit(self._build())
+
+  # -- kernel construction ----------------------------------------------------
+  def _build(self):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stencil = self.stencil
+    plan = self.plan
+    dim = plan.dim
+    rest = self.rest_pad
+    h = self.h_pad
+    pad_shape = (h,) + rest
+    b, s, lo = self.block_rows, self.slab, self.lo
+    n_in = len(stencil.input_names)
+    n_par = len(stencil.param_names)
+    n_out = len(stencil.output_names)
+    input_types = {
+        name: stencil.symbol_table[name] for name in stencil.input_names
+    }
+    single = self.grid == 1
+    interpret = self.interpret
+
+    n_blocks = self.grid
+    # static slab base per block class: the host-side padding of h to a
+    # multiple of b makes these compile-time constants, so output
+    # stores are static slices (no dynamic rotate — see slab_start)
+    def static_start(step: int) -> int:
+      return min(max(step * b - lo, 0), h - s)
+
+    base_first = 0 - static_start(0)
+    base_mid = b - static_start(1) if n_blocks > 1 else lo
+    base_tail = ((n_blocks - 1) * b - static_start(n_blocks - 1)
+                 if n_blocks > 1 else 0)
+
+    def kernel(*refs):
+      in_refs = refs[:n_in]
+      par_refs = refs[n_in:n_in + n_par]
+      out_refs = refs[n_in + n_par:n_in + n_par + n_out]
+      scratch = refs[n_in + n_par + n_out:]
+      slabs = scratch[:n_in]
+      in_sems = scratch[n_in:2 * n_in]
+
+      i = pl.program_id(0)
+      n = pl.num_programs(0)
+
+      def slab_start(grid_step):
+        # all quantities are multiples of the sublane tile; the //*
+        # makes that provable for Mosaic
+        start = jnp.clip(grid_step * b - lo, 0, h - s)
+        return (start // _ALIGN) * _ALIGN
+
+      def in_copy(k, grid_step, slot):
+        return pltpu.make_async_copy(
+            in_refs[k].at[pl.ds(slab_start(grid_step), s)],
+            slabs[k].at[slot],
+            in_sems[k].at[slot],
+        )
+
+      if single:
+        # full copies: no ref slicing, so no alignment concerns
+        for k in range(n_in):
+          pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
+                                in_sems[k].at[0]).start()
+        for k in range(n_in):
+          pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
+                                in_sems[k].at[0]).wait()
+        slot = 0
+      else:
+        @pl.when(i == 0)
+        def _():
+          for k in range(n_in):
+            in_copy(k, i, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+          for k in range(n_in):
+            in_copy(k, i + 1, (i + 1) % 2).start()
+
+        slot = i % 2
+        for k in range(n_in):
+          in_copy(k, i, slot).wait()
+
+      values: Dict[str, object] = {}
+      for k, name in enumerate(stencil.input_names):
+        values[name] = slabs[k][slot] if not single else slabs[k][0]
+
+      params = {
+          name: par_refs[k] for k, name in enumerate(stencil.param_names)
+      }
+
+      for stage in plan.stages:
+        st_idx = stage.tensor.st_idx
+
+        def load(ref: ir.Ref, _st=st_idx):
+          if ref.name in stencil.param_names:
+            return params[ref.name][tuple(ref.idx)]
+          arr = values[ref.name]
+          for d in range(dim):
+            delta = ref.idx[d] - _st[d]
+            if delta:
+              arr = jnp.roll(arr, -delta, axis=dim - 1 - d)
+          return arr
+
+        def param(name, idx):
+          return params[name][idx]
+
+        evaluator = semantics.Evaluator(jnp, load, param=param)
+        value, _ = evaluator.eval_stmt(stage.tensor)
+        values[stage.name] = semantics.wrap(jnp, value, stage.dtype)
+
+      for k, name in enumerate(stencil.output_names):
+        value = values[name]
+        if single:
+          out_refs[k][:] = value
+          continue
+        # output block row j = slab row base + j; base is static per
+        # block class, so these are plain static slices
+        if base_first == base_mid == base_tail:
+          out_refs[k][:] = value[base_mid:base_mid + b]
+          continue
+
+        @pl.when(i == 0)
+        def _(k=k, value=value):
+          out_refs[k][:] = value[base_first:base_first + b]
+
+        @pl.when(jnp.logical_and(i > 0, i < n - 1))
+        def _(k=k, value=value):
+          out_refs[k][:] = value[base_mid:base_mid + b]
+
+        @pl.when(jnp.logical_and(i == n - 1, n > 1))
+        def _(k=k, value=value):
+          out_refs[k][:] = value[base_tail:base_tail + b]
+
+    grid = (self.grid,)
+    # inputs pinned to HBM and DMA'd manually (blocked specs cannot
+    # express overlapping halo windows)
+    hbm = pl.ANY if interpret else pltpu.HBM
+    in_specs = [pl.BlockSpec(memory_space=hbm)] * n_in
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_par
+    if single:
+      out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out
+    else:
+      out_specs = [
+          pl.BlockSpec((b,) + rest, lambda i: (i,) + (0,) * (dim - 1),
+                       memory_space=pltpu.VMEM)
+      ] * n_out
+    out_shape = [
+        jax.ShapeDtypeStruct(pad_shape, stencil.symbol_table[name].np_dtype)
+        for name in stencil.output_names
+    ]
+    n_buf = 1 if single else 2
+    scratch_shapes = [
+        pltpu.VMEM((n_buf, s) + rest, input_types[name].np_dtype)
+        for name in stencil.input_names
+    ]
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA((n_buf,)) for _ in stencil.input_names
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if n_out > 1 else out_specs[0],
+        out_shape=out_shape if n_out > 1 else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        interpret=interpret,
+    )
+
+    real_shape = self.shape
+    pads = tuple(
+        (0, p - r) for p, r in zip(pad_shape, real_shape))
+    needs_pad = pad_shape != real_shape
+    crop = tuple(slice(0, r) for r in real_shape)
+
+    def fn(*arrays):
+      n_args = len(stencil.input_names)
+      ins = arrays[:n_args]
+      pars = arrays[n_args:]
+      if needs_pad:
+        ins = tuple(jnp.pad(a, pads) for a in ins)
+      outs = call(*ins, *pars)
+      if not isinstance(outs, (list, tuple)):
+        outs = (outs,)
+      if needs_pad:
+        outs = tuple(o[crop] for o in outs)
+      return outs
+
+    return fn
+
+  # -- execution ----------------------------------------------------------------
+  def __call__(self,
+               inputs: Mapping[str, np.ndarray],
+               params: Optional[Mapping[str, np.ndarray]] = None
+               ) -> Dict[str, np.ndarray]:
+    import jax.numpy as jnp
+    stencil = self.stencil
+    args = []
+    for name in stencil.input_names:
+      if name not in inputs:
+        raise utils.InputError('missing input: %s' % name)
+      arr = jnp.asarray(inputs[name])
+      if arr.shape != self.shape:
+        raise utils.InputError('input %s shape %s != compiled shape %s' %
+                               (name, arr.shape, self.shape))
+      args.append(semantics.wrap(jnp, arr, stencil.symbol_table[name]))
+    params = dict(params or {})
+    for name in stencil.param_names:
+      args.append(jnp.asarray(params[name]))
+    outs = self._fn(*args)
+    return dict(zip(stencil.output_names, outs))

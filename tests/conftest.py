@@ -7,9 +7,16 @@ run without TPU hardware; Pallas kernels run in interpret mode on CPU
 
 import os
 
-os.environ.setdefault('XLA_FLAGS',
-                      '--xla_force_host_platform_device_count=8')
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the ambient environment points JAX at a live TPU tunnel
+# (and a sitecustomize pre-imports jax, so env vars alone are too late —
+# the config update below is what actually takes effect).
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
+                           ' --xla_force_host_platform_device_count=8')
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
 
 import pathlib
 import sys

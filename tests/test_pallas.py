@@ -1,0 +1,48 @@
+"""Fused Pallas kernel vs NumPy oracle parity (interpret mode on CPU).
+
+The Pallas path is the analog of the reference's full hardware kernel;
+this is its software correctness gate (same role as
+tests/test-cpp-host.sh running the HLS kernel as plain C++).
+"""
+
+import numpy as np
+import pytest
+
+from soda_tpu import corpus
+from soda_tpu.backend import reference
+from soda_tpu.backend.pallas_kernel import PallasExecutor
+
+from checks import assert_close_reference
+
+
+def check_kernel(name, shape=None, block_rows=None):
+  stencil = corpus.build(name)
+  shape = shape or corpus.TEST_DIMS[name]
+  inputs = reference.make_test_inputs(stencil, shape)
+  params = reference.make_test_params(stencil)
+  want = reference.run(stencil, inputs, params)
+  executor = PallasExecutor(stencil, shape, block_rows=block_rows)
+  got = executor(inputs, params)
+  for out_name in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out_name)
+    assert_close_reference(
+        np.asarray(got[out_name])[region], want[out_name][region],
+        stencil.symbol_table[out_name].is_float, f'{name}:{out_name}')
+
+
+@pytest.mark.parametrize('name', sorted(corpus.CORPUS))
+def test_corpus_pallas_matches_oracle(name):
+  check_kernel(name)
+
+
+def test_multi_block_grid():
+  # force several grid steps incl. a ragged tail block
+  check_kernel('blur', shape=(70, 64), block_rows=16)
+
+
+def test_single_block_tiny_grid():
+  check_kernel('jacobi2d', shape=(12, 32))
+
+
+def test_blocked_3d():
+  check_kernel('heat3d', shape=(40, 32, 32), block_rows=8)

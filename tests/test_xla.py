@@ -14,7 +14,7 @@ from soda_tpu import corpus
 from soda_tpu.backend import reference
 from soda_tpu.backend.xla import XlaExecutor
 
-THRESHOLD = 1e-5
+from checks import assert_close_reference
 
 
 def check_kernel(name, cluster=None, shape=None):
@@ -27,12 +27,9 @@ def check_kernel(name, cluster=None, shape=None):
   got = executor(inputs, params)
   for out_name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, out_name)
-    w = want[out_name][region]
-    g = np.asarray(got[out_name])[region]
-    if stencil.symbol_table[out_name].is_float:
-      np.testing.assert_allclose(g, w, rtol=THRESHOLD, atol=THRESHOLD)
-    else:
-      np.testing.assert_array_equal(g, w)
+    assert_close_reference(
+        np.asarray(got[out_name])[region], want[out_name][region],
+        stencil.symbol_table[out_name].is_float, f'{name}:{out_name}')
 
 
 @pytest.mark.parametrize('name', sorted(corpus.CORPUS))
