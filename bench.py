@@ -1,0 +1,179 @@
+"""Benchmark harness: fused Pallas stencil kernels vs HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": "hbm_roofline_frac_geomean", "value": <geomean fraction of
+   HBM-bandwidth roofline across headline kernels>, "unit": "fraction",
+   "vs_baseline": <value / 0.80>}
+
+The baseline target is the BASELINE.md north star: every corpus kernel
+as one fused Pallas kernel at >= 80% of HBM roofline (the reference's
+own performance model caps throughput at DRAM bandwidth —
+model/xilinx.py:131-144 — so roofline fraction is the comparable
+metric). Per-kernel details go to stderr.
+
+Bytes counted = unique HBM traffic: each input read once + each output
+written once. iterate>1 kernels (jacobi2d/3d) do ALL sweeps in that one
+pass (temporal blocking), so their cells/s at the same roofline
+fraction is iterate x higher than a sweep-at-a-time implementation —
+the reference must re-stream HBM per sweep.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+# peak HBM bandwidth by device kind substring (GB/s)
+PEAKS = (
+    ('v5 lite', 819.0), ('v5e', 819.0), ('v5p', 2765.0),
+    ('v4', 1228.0), ('v6 lite', 1640.0), ('v6e', 1640.0),
+    ('v3', 900.0), ('v2', 700.0),
+)
+
+
+def peak_bandwidth(device) -> float:
+  kind = getattr(device, 'device_kind', '').lower()
+  for sub, bw in PEAKS:
+    if sub in kind:
+      return bw
+  return 819.0  # conservative default
+
+
+# headline kernels: (corpus name, shape, tile override). 3-D shapes keep
+# the cross-section VMEM-friendly (mid-dim blocking is streaming-only
+# for now).
+CONFIGS = (
+    ('blur', (8192, 2048), {'tile_size': (2048, 0)}),
+    ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)}),
+    ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
+    ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
+    ('seidel2d', (8192, 2048), {'tile_size': (2048, 0)}),
+    ('erosion', (8192, 2048), {'tile_size': (2048, 0)}),
+)
+
+
+N_SMALL, N_BIG = 5, 25
+
+
+def bench_kernel(name, shape, overrides, peak_gbps):
+  """Time the fused kernel via the chained-loop slope method.
+
+  Remote-tunnel TPU attachments make per-call host timing unreliable
+  (dispatch acks can arrive before device completion), so we time
+  ``lax.fori_loop`` chains of N_SMALL and N_BIG data-dependent kernel
+  applications — each iteration feeds the previous output back in, so
+  nothing can be elided or overlapped — force completion with a
+  data-dependent scalar fetch, and take the slope. Constant dispatch /
+  fetch overhead cancels.
+  """
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+  from soda_tpu import corpus
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+
+  stencil = corpus.build(name, **overrides)
+  ex = PallasExecutor(stencil, shape)
+  inputs = reference.make_test_inputs(stencil, shape)
+  args = list(ex.prepare(inputs))
+
+  # chain on the input that matches the first output's dtype+shape
+  out0 = stencil.output_names[0]
+  chain_idx = None
+  for idx, in_name in enumerate(stencil.input_names):
+    if (stencil.symbol_table[in_name].np_dtype ==
+        stencil.symbol_table[out0].np_dtype):
+      chain_idx = idx
+      break
+  if chain_idx is None:
+    raise RuntimeError('no chainable input for %s' % name)
+
+  def body(i, a):
+    call_args = list(args)
+    call_args[chain_idx] = a
+    return ex.fn(*call_args)[0]
+
+  def make(n):
+    return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))
+
+  f_small, f_big = make(N_SMALL), make(N_BIG)
+  x0 = args[chain_idx]
+
+  def timed(f):
+    t0 = time.perf_counter()
+    out = f(x0)
+    _ = jnp.sum(out.reshape(-1)[:1]).item()  # force device completion
+    return time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  timed(f_small)
+  timed(f_big)  # warm-up / compile
+  compile_s = time.perf_counter() - t0
+  t_small = min(timed(f_small) for _ in range(3))
+  t_big = min(timed(f_big) for _ in range(3))
+  dt = max((t_big - t_small) / (N_BIG - N_SMALL), 1e-9)
+
+  cells = float(np.prod(shape))
+  in_bytes = sum(
+      cells * stencil.symbol_table[n].width_in_bytes
+      for n in stencil.input_names)
+  out_bytes = sum(
+      cells * stencil.symbol_table[n].width_in_bytes
+      for n in stencil.output_names)
+  gbps = (in_bytes + out_bytes) / dt / 1e9
+  frac = gbps / peak_gbps
+  cells_per_s = cells * stencil.iterate / dt
+  log('%-10s shape=%s block=%d grid=%d time=%.3fms eff=%.1fGB/s '
+      'roofline=%.1f%% cells/s=%.3g compile=%.1fs' %
+      (name, shape, ex.block_rows, ex.grid, dt * 1e3, gbps, frac * 100,
+       cells_per_s, compile_s))
+  return frac, gbps, cells_per_s, dt
+
+
+def main():
+  import jax
+  dev = jax.devices()[0]
+  on_tpu = jax.default_backend() == 'tpu'
+  peak = peak_bandwidth(dev)
+  log('device: %s (%s), peak HBM %.0f GB/s, backend=%s' %
+      (dev, getattr(dev, 'device_kind', '?'), peak, jax.default_backend()))
+  if not on_tpu:
+    log('WARNING: not on TPU; Pallas runs interpreted; numbers are '
+        'not meaningful')
+
+  fracs = []
+  details = {}
+  for name, shape, overrides in CONFIGS:
+    try:
+      frac, gbps, cps, dt = bench_kernel(name, shape, overrides, peak)
+      fracs.append(frac)
+      details[name] = {'roofline_frac': round(frac, 4),
+                       'gbps': round(gbps, 1),
+                       'cells_per_s': cps, 'ms': round(dt * 1e3, 3)}
+    except Exception as e:  # keep the bench robust: report what ran
+      log('FAILED %s: %r' % (name, e))
+  if not fracs:
+    print(json.dumps({'metric': 'hbm_roofline_frac_geomean', 'value': 0.0,
+                      'unit': 'fraction', 'vs_baseline': 0.0}))
+    return
+  geomean = math.exp(sum(map(math.log, fracs)) / len(fracs))
+  log('details: %s' % json.dumps(details))
+  print(json.dumps({
+      'metric': 'hbm_roofline_frac_geomean',
+      'value': round(geomean, 4),
+      'unit': 'fraction',
+      'vs_baseline': round(geomean / 0.80, 4),
+  }))
+
+
+if __name__ == '__main__':
+  sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+  main()

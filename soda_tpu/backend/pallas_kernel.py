@@ -81,8 +81,10 @@ def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
       esize = plan.stencil.symbol_table[name].width_in_bytes
       total += 2 * _padded_cells((s,) + rest) * esize
     for stage in plan.stages:
-      # stages materialize at compute width (>= 4 bytes) transiently
-      total += _padded_cells((s,) + rest) * max(
+      # stages materialize at compute width (>= 4 bytes); x3 headroom
+      # for the accumulator + operand + shifted temporary that a lazy
+      # reduction fold keeps live simultaneously
+      total += 3 * _padded_cells((s,) + rest) * max(
           4, stage.dtype.width_in_bytes)
     if total <= budget:
       best = b
@@ -344,10 +346,10 @@ class PallasExecutor:
     return fn
 
   # -- execution ----------------------------------------------------------------
-  def __call__(self,
-               inputs: Mapping[str, np.ndarray],
-               params: Optional[Mapping[str, np.ndarray]] = None
-               ) -> Dict[str, np.ndarray]:
+  def prepare(self, inputs: Mapping[str, np.ndarray],
+              params: Optional[Mapping[str, np.ndarray]] = None):
+    """Wrap + device-put arguments (positional order for self.fn)."""
+    import jax
     import jax.numpy as jnp
     stencil = self.stencil
     args = []
@@ -358,9 +360,22 @@ class PallasExecutor:
       if arr.shape != self.shape:
         raise utils.InputError('input %s shape %s != compiled shape %s' %
                                (name, arr.shape, self.shape))
-      args.append(semantics.wrap(jnp, arr, stencil.symbol_table[name]))
+      args.append(
+          jax.device_put(semantics.wrap(jnp, arr,
+                                        stencil.symbol_table[name])))
     params = dict(params or {})
     for name in stencil.param_names:
-      args.append(jnp.asarray(params[name]))
-    outs = self._fn(*args)
-    return dict(zip(stencil.output_names, outs))
+      args.append(jax.device_put(jnp.asarray(params[name])))
+    return tuple(args)
+
+  @property
+  def fn(self):
+    """Jitted positional callable: fn(*inputs, *params) -> (outputs...)."""
+    return self._fn
+
+  def __call__(self,
+               inputs: Mapping[str, np.ndarray],
+               params: Optional[Mapping[str, np.ndarray]] = None
+               ) -> Dict[str, np.ndarray]:
+    outs = self._fn(*self.prepare(inputs, params))
+    return dict(zip(self.stencil.output_names, outs))

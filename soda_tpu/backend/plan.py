@@ -32,12 +32,11 @@ from soda_tpu.core import stencil as core
 from soda_tpu.core.tensor import Tensor
 
 
-def stage_margins(stencil, tensor: Tensor
-                  ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
-  """Per-DSL-dimension (lo, hi) margins outside which ``tensor`` is
-  undefined; mirrors the reference CPU-check loop bounds
-  (frt/host.py:566-577): locals use the window w.r.t. direct parents,
-  outputs the overall window w.r.t. the original inputs."""
+def window_margins(stencil, tensor: Tensor
+                   ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+  """Margins from the overall stencil window (reference CPU-check loop
+  bounds, frt/host.py:566-577). Correct for stencils whose stages all
+  normalize their loads, but NOT in general — see materialized_margins."""
   dim = len(stencil.tile_size)
   if tensor.is_input():
     return (0,) * dim, (0,) * dim
@@ -52,6 +51,48 @@ def stage_margins(stencil, tensor: Tensor
   hi = tuple(
       max(0, stencil_dim[d] - offset[d] - 1) for d in range(len(stencil_dim)))
   return lo, hi
+
+
+def materialized_margins(stencil) -> Dict[str, Tuple[Tuple[int, ...],
+                                                     Tuple[int, ...]]]:
+  """Per-tensor (lo, hi) valid-region margins under grid execution.
+
+  Propagated compositionally through the stage DAG: a cell of tensor T
+  is valid iff every load it performs hits a *valid, in-array* cell of
+  its parent. This is the true guarantee every executor in this package
+  provides (the reference's window-based loop bounds coincide for the
+  hand-written corpus, but under computation reuse an intermediate's
+  store offset can make the window bound under-estimate the margin —
+  its generated host would silently read out of range there).
+  """
+  dim = len(stencil.tile_size)
+  zeros = (0,) * dim
+  margins: Dict[str, Tuple[Tuple[int, ...], Tuple[int, ...]]] = {
+      name: (zeros, zeros) for name in stencil.input_names
+  }
+  for tensor in stencil.chronological_tensors:
+    if tensor.is_input():
+      continue
+    st_idx = tensor.st_idx
+    lo = [0] * dim
+    hi = [0] * dim
+    for parent_name, refs in tensor.ld_refs.items():
+      if parent_name in stencil.param_names:
+        continue
+      p_lo, p_hi = margins[parent_name]
+      for ref in refs:
+        for d in range(dim):
+          delta = ref.idx[d] - st_idx[d]
+          lo[d] = max(lo[d], p_lo[d] - delta)
+          hi[d] = max(hi[d], p_hi[d] + delta)
+    margins[tensor.name] = (tuple(lo), tuple(hi))
+  return margins
+
+
+def stage_margins(stencil, tensor: Tensor
+                  ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+  """Valid-region margins of one tensor (see materialized_margins)."""
+  return materialized_margins(stencil)[tensor.name]
 
 
 @dataclasses.dataclass
@@ -142,11 +183,12 @@ def make_plan(stencil, cluster: Optional[str] = None) -> FusionPlan:
   free on an FPGA; on TPU separate kernels round-trip HBM).
   """
   cluster = cluster or stencil.cluster or 'none'
+  margins = materialized_margins(stencil)
   stages: List[Stage] = []
   for tensor in stencil.chronological_tensors:
     if tensor.is_input():
       continue
-    lo, hi = stage_margins(stencil, tensor)
+    lo, hi = margins[tensor.name]
     stage = Stage(tensor=tensor, lo=lo, hi=hi)
     for parent_name, refs in tensor.ld_refs.items():
       stage.load_offsets[parent_name] = tuple(
@@ -160,10 +202,9 @@ def make_plan(stencil, cluster: Optional[str] = None) -> FusionPlan:
   else:
     raise ValueError('unknown cluster granularity: %s' % cluster)
 
-  out = stencil.tensors[stencil.output_names[0]]
-  halo_lo, halo_hi = stage_margins(stencil, out)
+  halo_lo, halo_hi = margins[stencil.output_names[0]]
   for name in stencil.output_names[1:]:
-    lo2, hi2 = stage_margins(stencil, stencil.tensors[name])
+    lo2, hi2 = margins[name]
     halo_lo = tuple(map(max, halo_lo, lo2))
     halo_hi = tuple(map(max, halo_hi, hi2))
   return FusionPlan(stencil=stencil, stages=stages, groups=groups,

@@ -190,9 +190,12 @@ class Evaluator:
 
   def _eval_chain(self, node) -> Tuple[Any, Optional[Type]]:
     xp = self.xp
-    values_types = [self.eval(o) for o in node.operand]
-    acc, acc_t = values_types[0]
-    for (val, val_t), op in zip(values_types[1:], node.operator):
+    # operands are evaluated LAZILY, one per fold step: long reduction
+    # chains (e.g. a 19-tap sum) then keep at most two slab-sized
+    # temporaries live, which is what lets Mosaic bound VMEM stack usage
+    acc, acc_t = self.eval(node.operand[0])
+    for opd, op in zip(node.operand[1:], node.operator):
+      val, val_t = self.eval(opd)
       acc, val, out = self._coerce_pair(acc, acc_t, val, val_t)
       if op == '+':
         acc = acc + val
@@ -234,14 +237,16 @@ class Evaluator:
   def _eval_call(self, node: ir.Call) -> Tuple[Any, Optional[Type]]:
     xp = self.xp
     name = node.name
-    args = [self.eval(o) for o in node.operand]
     if name in ('min', 'max'):
+      # lazy fold (see _eval_chain): bounds live temporaries
       fn = xp.minimum if name == 'min' else xp.maximum
-      acc, acc_t = args[0]
-      for val, val_t in args[1:]:
+      acc, acc_t = self.eval(node.operand[0])
+      for opd in node.operand[1:]:
+        val, val_t = self.eval(opd)
         acc, val, acc_t = self._coerce_pair(acc, acc_t, val, val_t)
         acc = fn(acc, val)
       return acc, acc_t
+    args = [self.eval(o) for o in node.operand]
     if name == 'select':
       cond = args[0][0]
       av, at = args[1]

@@ -56,6 +56,22 @@ def _stage_compute(stencil, stage, arrays, params, shape, jnp):
   return value
 
 
+def forward(stencil, arrays: Dict, params: Dict, shape: Tuple[int, ...],
+            plan: Optional[FusionPlan] = None) -> Dict:
+  """Trace all stages over full-grid arrays; returns {output: array}.
+
+  Pure traceable function (no jit) — reused by the sharded executor to
+  run per-device local computation inside shard_map.
+  """
+  import jax.numpy as jnp
+  plan = plan or make_plan(stencil, 'full')
+  arrays = dict(arrays)
+  for stage in plan.stages:
+    arrays[stage.name] = _stage_compute(stencil, stage, arrays, params,
+                                        shape, jnp)
+  return {name: arrays[name] for name in stencil.output_names}
+
+
 class XlaExecutor:
   """Compile a stencil to jitted XLA for a fixed grid shape.
 

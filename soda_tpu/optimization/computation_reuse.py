@@ -135,7 +135,7 @@ def computation_reuse(stencil):
       if expression.best_schedule is not None:
         _logger.debug('best schedule: (cost: %s)',
                       expression.best_schedule.cost)
-        return expression.best_schedule.get_ir_node_with_cr(stencil, cses)
+        return expression.get_ir_node_with_cr(stencil, cses)
     except Expression.CannotHandle:
       pass
     return node
@@ -152,6 +152,10 @@ def computation_reuse(stencil):
         continue
       seen.add(expr)
       expr = stencil.propagate_type(expr, stmt)
+      # record the new variable's type so later vars / stmts referencing
+      # it propagate correctly (bottom-up insertion order guarantees
+      # dependees come first)
+      stencil.symbol_table[ref.name] = expr.dtype
       new_local_stmts.append(
           ast.LocalStmt(ref=ref, dtype=expr.dtype, expr=expr, let=stmt.let,
                         stencil=stencil))

