@@ -340,22 +340,6 @@ int64_t distance_bound(const ExprPtr& top) {
   return total;
 }
 
-// left-deep chain (no reuse)
-ExprPtr linear_schedule(
-    const std::vector<std::pair<int64_t, int64_t>>& operands_in,
-    const std::vector<ExprPtr>& payloads) {
-  auto operands = operands_in;
-  ExprPtr sched = make_expr(payloads[0], operands[0].second, payloads[1],
-                            operands[1].second,
-                            operands[1].first - operands[0].first);
-  // NOTE: callers pass operands sorted by offset with aligned payloads
-  int64_t origin = operands[0].first;
-  for (size_t i = 2; i < operands.size(); ++i)
-    sched = make_expr(sched, 0, payloads[i], operands[i].second,
-                      operands[i].first - origin);
-  return sched;
-}
-
 struct Operand {
   int64_t rattr;
   int64_t leaf;     // aattr value if payload == nullptr
