@@ -1,0 +1,129 @@
+"""Analytic performance / resource model for TPU stencil execution.
+
+The analog of the reference's pre-synthesis estimator
+(/root/reference/src/soda/model/xilinx.py:34-196): where that model sums
+per-module BRAM/DSP/FF/LUT costs and caps throughput at DRAM bandwidth
+(`performance = unroll_factor x target_freq`, capped by
+`dram_bandwidth x banks / bytes-per-pixel`, model/xilinx.py:131-144),
+this one computes
+
+  * HBM traffic per pass (inputs read once + outputs written once —
+    the fused kernel's contract),
+  * compute work per cell from the IR (adds/muls/divs/transcendentals),
+  * the roofline bound min(bandwidth bound, vector-unit bound) in
+    cells/s, with iterate>1 counting as `iterate` sweeps per pass,
+  * the VMEM working set of the fused Pallas kernel (slab accounting,
+    the analog of BRAM FIFO sizing) and the chosen block size.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from soda_tpu.backend import pallas_kernel
+from soda_tpu.backend.plan import make_plan
+from soda_tpu.ir import nodes as ir
+
+# (substring of device_kind, HBM GB/s, VPU f32 GFLOP/s)
+DEVICE_TABLE = (
+    ('v5 lite', 819.0, 3_200.0),
+    ('v5e', 819.0, 3_200.0),
+    ('v5p', 2_765.0, 11_500.0),
+    ('v4', 1_228.0, 4_300.0),
+    ('v6 lite', 1_640.0, 7_300.0),
+    ('v6e', 1_640.0, 7_300.0),
+)
+DEFAULT_DEVICE = ('generic-tpu', 819.0, 3_200.0)
+
+
+def device_params(device=None) -> Tuple[str, float, float]:
+  kind = ''
+  if device is not None:
+    kind = getattr(device, 'device_kind', str(device)).lower()
+  for sub, bw, flops in DEVICE_TABLE:
+    if sub in kind:
+      return kind, bw, flops
+  return (kind or DEFAULT_DEVICE[0], DEFAULT_DEVICE[1], DEFAULT_DEVICE[2])
+
+
+def count_ops(stencil) -> Dict[str, float]:
+  """Per-output-cell operation counts summed over all stages."""
+  counts = {'add': 0, 'mul': 0, 'div': 0, 'minmax': 0,
+            'transcendental': 0, 'other': 0}
+
+  def visit(node, _):
+    if isinstance(node, ir.AddSub):
+      counts['add'] += len(node.operator)
+    elif isinstance(node, ir.MulDiv):
+      for op in node.operator:
+        counts['mul' if op == '*' else 'div'] += 1
+    elif isinstance(node, ir.Call):
+      if node.name in ('min', 'max'):
+        counts['minmax'] += len(node.operand) - 1
+      elif node.name in ('select', 'abs'):
+        counts['other'] += 1
+      else:
+        counts['transcendental'] += 1
+    return node
+
+  for stmt in stencil.local_stmts + stencil.output_stmts:
+    stmt.expr.visit(visit)
+    for let in stmt.let:
+      let.visit(visit)
+  return counts
+
+
+def estimate(stencil, shape: Tuple[int, ...],
+             device=None) -> Dict[str, object]:
+  plan = make_plan(stencil, 'full')
+  kind, bw_gbps, vpu_gflops = device_params(device)
+  cells = float(np.prod(shape))
+  in_bytes = sum(cells * stencil.symbol_table[n].width_in_bytes
+                 for n in stencil.input_names)
+  out_bytes = sum(cells * stencil.symbol_table[n].width_in_bytes
+                  for n in stencil.output_names)
+  traffic = in_bytes + out_bytes
+  ops = count_ops(stencil)
+  flops_per_cell = sum(ops.values())
+  total_flops = flops_per_cell * cells
+
+  bw_time = traffic / (bw_gbps * 1e9)
+  compute_time = total_flops / (vpu_gflops * 1e9)
+  bound = 'memory' if bw_time >= compute_time else 'compute'
+  time_s = max(bw_time, compute_time)
+
+  block_rows = pallas_kernel.choose_block_rows(plan, shape)
+  dim = plan.dim
+  lo = pallas_kernel._pad_to(plan.halo_lo[dim - 1], pallas_kernel._ALIGN)
+  slab = pallas_kernel._pad_to(block_rows + lo + plan.halo_hi[dim - 1],
+                               pallas_kernel._ALIGN)
+  vmem = plan.vmem_bytes((slab,) + tuple(shape[1:]))
+
+  return {
+      'device': kind,
+      'peak_hbm_gbps': bw_gbps,
+      'peak_vpu_gflops': vpu_gflops,
+      'cells': cells,
+      'hbm_bytes': traffic,
+      'arithmetic_intensity': total_flops / traffic,
+      'ops_per_cell': ops,
+      'bound': bound,
+      'ideal_time_s': time_s,
+      'ideal_cells_per_s': cells * stencil.iterate / time_s,
+      'ideal_effective_gbps': traffic / time_s / 1e9,
+      'block_rows': block_rows,
+      'slab_rows': slab,
+      'vmem_bytes': vmem,
+      'vmem_ok': vmem <= 16 * 1024 * 1024,
+      'halo': {'lo': plan.halo_lo, 'hi': plan.halo_hi},
+      'stages': len(plan.stages),
+      'total_reuse_distance': getattr(stencil, 'total_reuse_distance', None),
+  }
+
+
+def print_estimation(stencil, shape, file, device=None) -> None:
+  json.dump(estimate(stencil, shape, device), file, indent=2, default=str)
+  file.write('\n')

@@ -1,0 +1,237 @@
+"""sodac-tpu: the command-line driver.
+
+Rebuild of the reference CLI (/root/reference/src/soda/sodac.py): parse
+a .soda program (file or stdin), apply directive overrides, construct
+the Stencil, and dispatch backend actions. The FPGA codegen targets are
+replaced by TPU-native ones:
+
+  --emit-jax FILE     print a standalone JAX program  (was: HLS C++)
+  --emit-dot FILE     graphviz of the fusion plan     (dataflow.py:36)
+  --estimate FILE     analytic roofline/VMEM estimate (model/xilinx.py)
+  --run               execute + self-test vs the NumPy oracle, print
+                      throughput (was: generated host's SODA_TEST_MAIN)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import Optional
+
+from soda_tpu import utils
+
+
+def _build_parser() -> argparse.ArgumentParser:
+  parser = argparse.ArgumentParser(
+      prog='sodac-tpu',
+      description='SODA-TPU stencil compiler (JAX/XLA/Pallas backends)')
+  parser.add_argument('--verbose', '-v', action='count', default=0,
+                      help='increase verbosity')
+  parser.add_argument('--quiet', '-q', action='count', default=0,
+                      help='decrease verbosity')
+  parser.add_argument('--recursion-limit', type=int, default=3000,
+                      help='Python recursion limit')
+  parser.add_argument('soda_src', metavar='FILE',
+                      help='SODA program, or - for stdin')
+
+  override = parser.add_argument_group('directive overrides',
+                                       'override in-file DSL directives '
+                                       '(reference sodac.py:45-93)')
+  override.add_argument('--burst-width', type=int)
+  override.add_argument('--unroll-factor', type=int)
+  override.add_argument('--replication-factor', type=int)
+  override.add_argument('--tile-size', type=str,
+                        help='comma-separated, e.g. 2048 or 128,128')
+  override.add_argument('--dram-in', type=str)
+  override.add_argument('--dram-out', type=str)
+  override.add_argument('--iterate', type=int)
+  override.add_argument('--border', choices=('ignore', 'preserve'))
+  override.add_argument('--cluster',
+                        choices=('none', 'fine', 'coarse', 'full'))
+
+  opt = parser.add_argument_group('optimizations')
+  opt.add_argument('--computation-reuse',
+                   choices=('no', 'yes', 'greedy', 'optimal', 'beam',
+                            'glore', 'external', 'built-in',
+                            'built-in:greedy', 'built-in:optimal'),
+                   default='no')
+  opt.add_argument('--inline', action='store_true')
+
+  backend = parser.add_argument_group('backends')
+  backend.add_argument('--emit-jax', metavar='FILE',
+                       help='generate a standalone JAX program (- = stdout)')
+  backend.add_argument('--emit-dot', metavar='FILE',
+                       help='dump the fusion-plan DAG as graphviz')
+  backend.add_argument('--estimate', metavar='FILE',
+                       help='write the analytic performance estimate JSON')
+  backend.add_argument('--run', action='store_true',
+                       help='execute and self-test against the oracle')
+  backend.add_argument('--bench', action='store_true',
+                       help='with --run: time the kernel, print pixel/ns')
+  backend.add_argument('--backend',
+                       choices=('auto', 'xla', 'pallas', 'sharded'),
+                       default='auto')
+  backend.add_argument('--shape', type=str,
+                       help='grid shape, comma-separated, streaming axis '
+                            'first (default: derived from tile size)')
+  backend.add_argument('--seed', type=int, default=0)
+  return parser
+
+
+def _parse_ints(text: str):
+  return tuple(int(x) for x in text.split(','))
+
+
+def _default_shape(stencil):
+  rest = tuple(reversed(stencil.tile_size[:-1]))
+  return (256,) + rest
+
+
+def main(argv: Optional[list] = None) -> int:
+  parser = _build_parser()
+  args = parser.parse_args(argv)
+  sys.setrecursionlimit(args.recursion_limit)
+  level = logging.WARNING - 10 * args.verbose + 10 * args.quiet
+  logging.basicConfig(
+      level=max(logging.DEBUG, min(logging.CRITICAL, level)),
+      format='%(levelname)s:%(name)s:%(lineno)d: %(message)s')
+
+  if args.soda_src == '-':
+    source = sys.stdin.read()
+  else:
+    with open(args.soda_src) as f:
+      source = f.read()
+
+  overrides = {}
+  for key in ('burst_width', 'unroll_factor', 'replication_factor',
+              'iterate', 'border', 'cluster', 'dram_in', 'dram_out'):
+    value = getattr(args, key)
+    if value is not None:
+      overrides[key] = value
+  if args.tile_size:
+    overrides['tile_size'] = _parse_ints(args.tile_size) + (0,)
+  optimizations = {}
+  if args.computation_reuse != 'no':
+    optimizations['computation-reuse'] = args.computation_reuse
+  if args.inline:
+    optimizations['inline'] = True
+  if optimizations:
+    overrides['optimizations'] = optimizations
+
+  from soda_tpu import api
+  try:
+    stencil = api.build_stencil(source, **overrides)
+  except utils.SemanticError as e:
+    parser.error('invalid SODA program: %s' % e)
+    return 1
+
+  did_something = False
+  if args.emit_jax:
+    from soda_tpu.codegen import jax_source
+    shape = _parse_ints(args.shape) if args.shape else None
+    if args.emit_jax == '-':
+      jax_source.print_code(stencil, sys.stdout, shape)
+    else:
+      with open(args.emit_jax, 'w') as f:
+        jax_source.print_code(stencil, f, shape)
+    did_something = True
+
+  if args.emit_dot:
+    from soda_tpu.backend.plan import make_plan
+    plan = make_plan(stencil)
+    text = plan.dot()
+    if args.emit_dot == '-':
+      sys.stdout.write(text + '\n')
+    else:
+      with open(args.emit_dot, 'w') as f:
+        f.write(text + '\n')
+    did_something = True
+
+  if args.estimate:
+    from soda_tpu.model import estimate as model
+    shape = _parse_ints(args.shape) if args.shape else \
+        _default_shape(stencil)
+    device = None
+    try:
+      import jax
+      device = jax.devices()[0]
+    except Exception:  # noqa: BLE001 - no device is fine for estimation
+      pass
+    if args.estimate == '-':
+      model.print_estimation(stencil, shape, sys.stdout, device)
+    else:
+      with open(args.estimate, 'w') as f:
+        model.print_estimation(stencil, shape, f, device)
+    did_something = True
+
+  if args.run:
+    did_something = True
+    code = _run(stencil, args)
+    if code:
+      return code
+
+  if not did_something:
+    parser.error('no action requested '
+                 '(--emit-jax/--emit-dot/--estimate/--run)')
+  return 0
+
+
+def _run(stencil, args) -> int:
+  """Execute on random inputs and verify against the NumPy oracle —
+  the analog of running the generated host with SODA_TEST_MAIN."""
+  import numpy as np
+  from soda_tpu.backend import reference
+
+  shape = _parse_ints(args.shape) if args.shape else _default_shape(stencil)
+  inputs = reference.make_test_inputs(stencil, shape, seed=args.seed)
+  params = reference.make_test_params(stencil)
+  want = reference.run(stencil, inputs, params)
+
+  backend = args.backend
+  if backend in ('auto', 'pallas'):
+    from soda_tpu.backend.pallas_kernel import PallasExecutor
+    executor = PallasExecutor(stencil, shape)
+  elif backend == 'xla':
+    from soda_tpu.backend.xla import XlaExecutor
+    executor = XlaExecutor(stencil, shape)
+  else:
+    from soda_tpu.parallel.spmd import ShardedExecutor
+    executor = ShardedExecutor(stencil, shape)
+
+  t0 = time.perf_counter()
+  outs = executor(inputs, params)
+  compile_and_run_s = time.perf_counter() - t0
+
+  errors = 0
+  for name in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, name)
+    got = np.asarray(outs[name])[region]
+    expect = want[name][region]
+    if stencil.symbol_table[name].is_float:
+      d2 = (got.astype(np.float64) - expect.astype(np.float64)) ** 2
+      w2 = expect.astype(np.float64) ** 2
+      bad = (d2 > 1e-5) & (d2 > 1e-5 * w2)
+    else:
+      bad = got != expect
+    errors += int(bad.sum())
+  cells = int(np.prod(shape))
+  print('INFO: %s!' % ('FAIL' if errors else 'PASS'))
+  print('Grid: %s (%d cells), backend=%s, compile+run %.3f s' %
+        ('x'.join(map(str, shape)), cells, args.backend, compile_and_run_s))
+
+  if args.bench:
+    import jax
+    # warm-up then measure (the generated hosts also discard the first
+    # run, reference host.py:798-827)
+    t0 = time.perf_counter()
+    jax.block_until_ready(list(executor(inputs, params).values()))
+    dt = time.perf_counter() - t0
+    print('Kernel execution time: %.3f ms' % (dt * 1e3))
+    print('Kernel throughput: %.6f pixel/ns' % (cells / dt / 1e9))
+  return 1 if errors else 0
+
+
+if __name__ == '__main__':
+  sys.exit(main())

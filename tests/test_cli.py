@@ -1,0 +1,69 @@
+"""CLI driver tests (the analog of the reference's sodac invocations in
+tests/*.sh)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from soda_tpu import corpus
+
+
+def run_cli(args, stdin_text=None):
+  return subprocess.run(
+      [sys.executable, '-m', 'soda_tpu'] + args,
+      input=stdin_text, capture_output=True, text=True, cwd='/root/repo',
+      env={'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
+           'PYTHONPATH': '/root/repo', 'HOME': '/root'})
+
+
+def test_emit_jax_stdout():
+  r = run_cli(['-', '--emit-jax', '-'], corpus.CORPUS['blur'])
+  assert r.returncode == 0, r.stderr
+  assert 'def compute(' in r.stdout
+  assert 'kernel: blur' in r.stdout
+
+
+def test_emit_dot(tmp_path):
+  out = tmp_path / 'plan.dot'
+  r = run_cli(['-', '--emit-dot', str(out)], corpus.CORPUS['sobel2d'])
+  assert r.returncode == 0, r.stderr
+  text = out.read_text()
+  assert 'digraph' in text and 'mag_x' in text
+
+
+def test_estimate(tmp_path):
+  out = tmp_path / 'est.json'
+  r = run_cli(['-', '--estimate', str(out), '--shape', '512,64'],
+              corpus.CORPUS['jacobi2d'])
+  assert r.returncode == 0, r.stderr
+  est = json.loads(out.read_text())
+  assert est['bound'] in ('memory', 'compute')
+  assert est['vmem_ok'] is True
+  assert est['stages'] == 2  # iterate: 2
+
+
+def test_run_self_test_passes():
+  r = run_cli(['-', '--run', '--backend', 'xla', '--shape', '32,64'],
+              corpus.CORPUS['blur'])
+  assert r.returncode == 0, r.stderr + r.stdout
+  assert 'PASS' in r.stdout
+
+
+def test_run_with_cr_override():
+  r = run_cli(['-', '--run', '--backend', 'xla', '--shape', '32,64',
+               '--computation-reuse', 'greedy'],
+              corpus.CORPUS['erosion'].replace('(480, *)', '(64, *)'))
+  assert r.returncode == 0, r.stderr + r.stdout
+  assert 'PASS' in r.stdout
+
+
+def test_invalid_program_errors():
+  r = run_cli(['-', '--run'], 'kernel: broken\n')
+  assert r.returncode != 0
+
+
+def test_no_action_errors():
+  r = run_cli(['-'], corpus.CORPUS['blur'])
+  assert r.returncode != 0
