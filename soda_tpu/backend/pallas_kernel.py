@@ -43,8 +43,8 @@ from soda_tpu.backend.plan import FusionPlan, make_plan
 from soda_tpu.ir import nodes as ir
 
 # VMEM budget for choosing block_rows (bytes); leaves headroom out of
-# ~16 MB for Mosaic's own temporaries.
-_VMEM_BUDGET = 8 * 1024 * 1024
+# the ~16 MB scoped limit for Mosaic's own temporaries.
+_VMEM_BUDGET = 11 * 1024 * 1024
 
 # Sublane tile: streaming-dim DMA offsets must be multiples of this.
 _ALIGN = 8
@@ -80,12 +80,18 @@ def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
     for name in plan.stencil.input_names:
       esize = plan.stencil.symbol_table[name].width_in_bytes
       total += 2 * _padded_cells((s,) + rest) * esize
+    # per-stage VMEM scratch at storage width...
     for stage in plan.stages:
-      # stages materialize at compute width (>= 4 bytes); x3 headroom
-      # for the accumulator + operand + shifted temporary that a lazy
-      # reduction fold keeps live simultaneously
+      total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
+    # ...plus transient fold temporaries at compute width for the
+    # widest single stage (accumulator + operand + shifted load)
+    if plan.stages:
       total += 3 * _padded_cells((s,) + rest) * max(
-          4, stage.dtype.width_in_bytes)
+          max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
+    # ...plus Pallas's double-buffered output blocks
+    for out_name in plan.stencil.output_names:
+      esize = plan.stencil.symbol_table[out_name].width_in_bytes
+      total += 2 * _padded_cells((b,) + rest) * esize
     if total <= budget:
       best = b
     else:
@@ -186,6 +192,37 @@ class PallasExecutor:
     base_tail = ((n_blocks - 1) * b - static_start(n_blocks - 1)
                  if n_blocks > 1 else 0)
 
+    # Valid slab-coordinate margins per tensor, per array axis: a stage
+    # cell is computable where every load hits a written / in-slab cell
+    # of its parent. All static, so every read and write below is a
+    # static slice (Mosaic needs no dynamic-offset vector ops at all).
+    size = (s,) + rest
+    slab_margins: Dict[str, Tuple[Tuple[int, int], ...]] = {
+        name: ((0, 0),) * dim for name in stencil.input_names
+    }
+    for stage in plan.stages:
+      st_idx = stage.tensor.st_idx
+      margins = [[0, 0] for _ in range(dim)]
+      for parent_name, refs_ in stage.tensor.ld_refs.items():
+        if parent_name in stencil.param_names:
+          continue
+        p_m = slab_margins[parent_name]
+        for ref in refs_:
+          for a in range(dim):
+            d = dim - 1 - a
+            delta = ref.idx[d] - st_idx[d]
+            margins[a][0] = max(margins[a][0], p_m[a][0] - delta)
+            margins[a][1] = max(margins[a][1], p_m[a][1] + delta)
+      slab_margins[stage.name] = tuple(
+          (m[0], m[1]) for m in margins)
+
+    def _region(name) -> Tuple[slice, ...]:
+      return tuple(
+          slice(m[0], size[a] - m[1])
+          for a, m in enumerate(slab_margins[name]))
+
+    stage_names = [stage.name for stage in plan.stages]
+
     def kernel(*refs):
       in_refs = refs[:n_in]
       par_refs = refs[n_in:n_in + n_par]
@@ -193,6 +230,7 @@ class PallasExecutor:
       scratch = refs[n_in + n_par + n_out:]
       slabs = scratch[:n_in]
       in_sems = scratch[n_in:2 * n_in]
+      stage_refs = dict(zip(stage_names, scratch[2 * n_in:]))
 
       i = pl.program_id(0)
       n = pl.num_programs(0)
@@ -234,9 +272,11 @@ class PallasExecutor:
         for k in range(n_in):
           in_copy(k, i, slot).wait()
 
-      values: Dict[str, object] = {}
-      for k, name in enumerate(stencil.input_names):
-        values[name] = slabs[k][slot] if not single else slabs[k][0]
+      def parent_ref(name):
+        if name in stage_refs:
+          return stage_refs[name], ()
+        k = stencil.input_names.index(name)
+        return slabs[k], (slot if not single else 0,)
 
       params = {
           name: par_refs[k] for k, name in enumerate(stencil.param_names)
@@ -244,46 +284,51 @@ class PallasExecutor:
 
       for stage in plan.stages:
         st_idx = stage.tensor.st_idx
+        region = _region(stage.name)
 
-        def load(ref: ir.Ref, _st=st_idx):
+        def load(ref: ir.Ref, _st=st_idx, _region=region):
           if ref.name in stencil.param_names:
             return params[ref.name][tuple(ref.idx)]
-          arr = values[ref.name]
-          for d in range(dim):
+          src, lead = parent_ref(ref.name)
+          idx = list(lead)
+          for a in range(dim):
+            d = dim - 1 - a
             delta = ref.idx[d] - _st[d]
-            if delta:
-              arr = jnp.roll(arr, -delta, axis=dim - 1 - d)
-          return arr
+            idx.append(slice(_region[a].start + delta,
+                             _region[a].stop + delta))
+          return src[tuple(idx)]
 
         def param(name, idx):
           return params[name][idx]
 
-        evaluator = semantics.Evaluator(jnp, load, param=param)
+        evaluator = semantics.Evaluator(jnp, load, param=param,
+                                        fast_int_div=True)
         value, _ = evaluator.eval_stmt(stage.tensor)
-        values[stage.name] = semantics.wrap(jnp, value, stage.dtype)
+        stage_refs[stage.name][region] = semantics.wrap(
+            jnp, value, stage.dtype)
 
       for k, name in enumerate(stencil.output_names):
-        value = values[name]
+        src = stage_refs[name]
         if single:
-          out_refs[k][:] = value
+          out_refs[k][:] = src[:]
           continue
         # output block row j = slab row base + j; base is static per
         # block class, so these are plain static slices
         if base_first == base_mid == base_tail:
-          out_refs[k][:] = value[base_mid:base_mid + b]
+          out_refs[k][:] = src[base_mid:base_mid + b]
           continue
 
         @pl.when(i == 0)
-        def _(k=k, value=value):
-          out_refs[k][:] = value[base_first:base_first + b]
+        def _(k=k, src=src):
+          out_refs[k][:] = src[base_first:base_first + b]
 
         @pl.when(jnp.logical_and(i > 0, i < n - 1))
-        def _(k=k, value=value):
-          out_refs[k][:] = value[base_mid:base_mid + b]
+        def _(k=k, src=src):
+          out_refs[k][:] = src[base_mid:base_mid + b]
 
         @pl.when(jnp.logical_and(i == n - 1, n > 1))
-        def _(k=k, value=value):
-          out_refs[k][:] = value[base_tail:base_tail + b]
+        def _(k=k, src=src):
+          out_refs[k][:] = src[base_tail:base_tail + b]
 
     grid = (self.grid,)
     # inputs pinned to HBM and DMA'd manually (blocked specs cannot
@@ -309,6 +354,10 @@ class PallasExecutor:
     ]
     scratch_shapes += [
         pltpu.SemaphoreType.DMA((n_buf,)) for _ in stencil.input_names
+    ]
+    scratch_shapes += [
+        pltpu.VMEM((s,) + rest, stage.dtype.np_dtype)
+        for stage in plan.stages
     ]
 
     call = pl.pallas_call(

@@ -183,6 +183,8 @@ def make_plan(stencil, cluster: Optional[str] = None) -> FusionPlan:
   free on an FPGA; on TPU separate kernels round-trip HBM).
   """
   cluster = cluster or stencil.cluster or 'none'
+  from soda_tpu.optimization import ranges
+  ranges.annotate(stencil)  # enables exact f32 int-division lowering
   margins = materialized_margins(stencil)
   stages: List[Stage] = []
   for tensor in stencil.chronological_tensors:

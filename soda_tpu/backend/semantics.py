@@ -120,11 +120,17 @@ class Evaluator:
 
   def __init__(self, xp, load: Callable[[ir.Ref], Any],
                env: Optional[Dict[str, Tuple[Any, Optional[Type]]]] = None,
-               param: Optional[Callable[[str, Tuple[int, ...]], Any]] = None):
+               param: Optional[Callable[[str, Tuple[int, ...]], Any]] = None,
+               fast_int_div: bool = False):
     self.xp = xp
     self.load = load
     self.env = dict(env or {})
     self.param = param
+    # strength-reduce integer division to a float32 divide where the
+    # range analysis proved it bit-exact (soda_tpu.optimization.ranges);
+    # the oracle keeps pure C division so tests differentially verify
+    # the proof
+    self.fast_int_div = fast_int_div
 
   def bind(self, name: str, value, dtype: Optional[Type]) -> None:
     self.env[name] = (value, dtype)
@@ -193,8 +199,10 @@ class Evaluator:
     # operands are evaluated LAZILY, one per fold step: long reduction
     # chains (e.g. a 19-tap sum) then keep at most two slab-sized
     # temporaries live, which is what lets Mosaic bound VMEM stack usage
+    div_ok = getattr(node, 'div_f32_ok', None) if self.fast_int_div \
+        else None
     acc, acc_t = self.eval(node.operand[0])
-    for opd, op in zip(node.operand[1:], node.operator):
+    for pos, (opd, op) in enumerate(zip(node.operand[1:], node.operator)):
       val, val_t = self.eval(opd)
       acc, val, out = self._coerce_pair(acc, acc_t, val, val_t)
       if op == '+':
@@ -204,7 +212,14 @@ class Evaluator:
       elif op == '*':
         acc = acc * val
       elif op == '/':
-        acc = (acc / val) if out.is_float else c_int_div(xp, acc, val)
+        if out.is_float:
+          acc = acc / val
+        elif div_ok is not None and pos < len(div_ok) and div_ok[pos]:
+          # provably exact in float32 (see optimization/ranges.py)
+          f32 = Type('float').np_dtype
+          acc = (acc.astype(f32) / val.astype(f32)).astype(out.np_dtype)
+        else:
+          acc = c_int_div(xp, acc, val)
       elif op == '%':
         acc = c_int_mod(xp, acc, val)
       elif op == '&':

@@ -47,7 +47,8 @@ def _stage_compute(stencil, stage, arrays, params, shape, jnp):
   def param(name, idx):
     return params[name][idx]
 
-  evaluator = semantics.Evaluator(jnp, load, param=param)
+  evaluator = semantics.Evaluator(jnp, load, param=param,
+                                  fast_int_div=True)
   value, _ = evaluator.eval_stmt(stage.tensor)
   value = semantics.wrap(jnp, value, stage.dtype)
   pad = tuple((lo[dim - 1 - a], hi[dim - 1 - a]) for a in range(dim))

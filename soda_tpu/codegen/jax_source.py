@@ -265,7 +265,8 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
       return xp.sym('%s[%s]' % (name, ', '.join(map(str, idx))),
                     stencil.symbol_table[name].np_dtype)
 
-    evaluator = semantics.Evaluator(xp, load, param=param)
+    evaluator = semantics.Evaluator(xp, load, param=param,
+                                    fast_int_div=True)
     value, _ = evaluator.eval_stmt(stage.tensor)
     value = semantics.wrap(xp, value, stage.dtype)
     pads = ', '.join(
