@@ -63,7 +63,7 @@ CONFIGS = (
 )
 
 
-N_SMALL, N_BIG = 5, 25
+N_SMALL = 5
 
 
 def bench_kernel(name, shape, overrides, peak_gbps):
@@ -108,7 +108,16 @@ def bench_kernel(name, shape, overrides, peak_gbps):
   def make(n):
     return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))
 
-  f_small, f_big = make(N_SMALL), make(N_BIG)
+  # adaptive loop length: the iteration-count delta must represent
+  # >= ~40 ms of device time so dispatch/fetch jitter cancels cleanly
+  cells = float(np.prod(shape))
+  est_bytes = sum(
+      cells * stencil.symbol_table[n].width_in_bytes
+      for n in list(stencil.input_names) + list(stencil.output_names))
+  est_iter = est_bytes / (peak_gbps * 1e9)
+  n_big = N_SMALL + max(20, int(0.04 / est_iter))
+
+  f_small, f_big = make(N_SMALL), make(n_big)
   x0 = args[chain_idx]
 
   def timed(f):
@@ -123,9 +132,7 @@ def bench_kernel(name, shape, overrides, peak_gbps):
   compile_s = time.perf_counter() - t0
   t_small = min(timed(f_small) for _ in range(3))
   t_big = min(timed(f_big) for _ in range(3))
-  dt = max((t_big - t_small) / (N_BIG - N_SMALL), 1e-9)
-
-  cells = float(np.prod(shape))
+  dt = max((t_big - t_small) / (n_big - N_SMALL), 1e-9)
   in_bytes = sum(
       cells * stencil.symbol_table[n].width_in_bytes
       for n in stencil.input_names)

@@ -194,8 +194,11 @@ class PallasExecutor:
 
     # Valid slab-coordinate margins per tensor, per array axis: a stage
     # cell is computable where every load hits a written / in-slab cell
-    # of its parent. All static, so every read and write below is a
-    # static slice (Mosaic needs no dynamic-offset vector ops at all).
+    # of its parent. All static. The minor (lane) axis is exempt: lane
+    # shifts use a rotate of the loaded value instead of a shifted
+    # slice (lane-crossing vector loads are far more expensive than the
+    # VPU's lane rotate), and rotate wrap-around only contaminates the
+    # globally-invalid border columns.
     size = (s,) + rest
     slab_margins: Dict[str, Tuple[Tuple[int, int], ...]] = {
         name: ((0, 0),) * dim for name in stencil.input_names
@@ -208,7 +211,7 @@ class PallasExecutor:
           continue
         p_m = slab_margins[parent_name]
         for ref in refs_:
-          for a in range(dim):
+          for a in range(dim - 1):  # minor axis handled by rotates
             d = dim - 1 - a
             delta = ref.idx[d] - st_idx[d]
             margins[a][0] = max(margins[a][0], p_m[a][0] - delta)
@@ -222,6 +225,21 @@ class PallasExecutor:
           for a, m in enumerate(slab_margins[name]))
 
     stage_names = [stage.name for stage in plan.stages]
+    lanes = rest[-1]
+
+    def lane_roll(value, delta):
+      """value[..., i] = src[..., i + delta] via the VPU lane rotate
+      (non-negative shift; Mosaic's rotate needs 32-bit lanes)."""
+      if interpret:
+        return jnp.roll(value, -delta, axis=-1)
+      shift = (-delta) % lanes
+      dt = value.dtype
+      if dt.itemsize < 4:
+        wide = jnp.float32 if dt.kind == 'f' else (
+            jnp.uint32 if dt.kind == 'u' else jnp.int32)
+        return pltpu.roll(value.astype(wide), shift,
+                          axis=dim - 1).astype(dt)
+      return pltpu.roll(value, shift, axis=dim - 1)
 
     def kernel(*refs):
       in_refs = refs[:n_in]
@@ -291,12 +309,17 @@ class PallasExecutor:
             return params[ref.name][tuple(ref.idx)]
           src, lead = parent_ref(ref.name)
           idx = list(lead)
-          for a in range(dim):
+          for a in range(dim - 1):
             d = dim - 1 - a
             delta = ref.idx[d] - _st[d]
             idx.append(slice(_region[a].start + delta,
                              _region[a].stop + delta))
-          return src[tuple(idx)]
+          idx.append(slice(None))
+          value = src[tuple(idx)]
+          lane_delta = ref.idx[0] - _st[0]
+          if lane_delta:
+            value = lane_roll(value, lane_delta)
+          return value
 
         def param(name, idx):
           return params[name][idx]

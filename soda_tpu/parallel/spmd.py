@@ -3,12 +3,15 @@
 The TPU-native replacement for the reference's multi-DRAM-bank data
 partitioning and host-side halo-overlapped tiling
 (/root/reference/docs/data-layout.md:62-255, codegen/xilinx/host.py:641-701):
-the grid's streaming dimension is sharded across a 1-D device mesh via
-``jax.shard_map``; each step exchanges halo rows with mesh neighbors
-over ICI using ``lax.ppermute`` and runs the local stencil pipeline on
-its extended shard. Halo width is the OVERALL stencil window
-(transitive input->output, reference core.py:876-919), so multi-stage
-and iterate>1 kernels exchange once per step, not once per stage.
+the grid is sharded over a 1-D or 2-D device mesh via ``jax.shard_map``
+(streaming axis, and optionally the next array axis); each step
+exchanges halo slabs with mesh neighbors over ICI using
+``lax.ppermute`` and runs the local stencil pipeline on its extended
+shard. Halo width is the OVERALL stencil reach (transitive
+input->output), so multi-stage and iterate>1 kernels exchange once per
+step, not once per stage. The exchange is two-phase (axis 0, then
+axis 1 over the already-extended shard), which transports corner halos
+for diagonal stencil taps.
 
 Devices at the global boundary receive zero halos (ppermute's
 non-participating edge), which lands only in the globally-invalid
@@ -27,13 +30,13 @@ from soda_tpu.backend.plan import make_plan
 
 
 class ShardedExecutor:
-  """Run a stencil over a device mesh, sharded along the streaming axis.
+  """Run a stencil over a device mesh.
 
   Args:
     stencil: a core.Stencil.
     global_shape: full grid shape (array-axis order).
-    mesh: a jax.sharding.Mesh with one axis (default: all devices on
-      axis 'x').
+    mesh: a jax.sharding.Mesh with 1 or 2 axes; mesh axis k shards
+      array axis k. Default: all devices on one axis ('x').
     inner: 'xla' (shifted-slice stages, default) or 'pallas' (each
       shard runs the fused Pallas kernel).
   """
@@ -53,23 +56,37 @@ class ShardedExecutor:
     if mesh is None:
       devices = np.array(jax.devices())
       mesh = Mesh(devices, ('x',))
-    if len(mesh.axis_names) != 1:
-      raise utils.InputError('ShardedExecutor expects a 1-D mesh')
-    (axis,) = mesh.axis_names
-    n_dev = mesh.devices.size
-    h = self.shape[0]
-    if h % n_dev:
+    axes = tuple(mesh.axis_names)
+    if not 1 <= len(axes) <= 2:
+      raise utils.InputError('ShardedExecutor expects a 1-D or 2-D mesh')
+    if len(axes) > dim:
       raise utils.InputError(
-          'streaming extent %d not divisible by mesh size %d' % (h, n_dev))
-    h_loc = h // n_dev
-    lo = self.plan.halo_lo[dim - 1]
-    hi = self.plan.halo_hi[dim - 1]
-    if lo >= h_loc or hi >= h_loc:
-      raise utils.InputError('halo (%d, %d) exceeds shard rows %d' %
-                             (lo, hi, h_loc))
+          '%d-D mesh needs a grid with at least as many dimensions' %
+          len(axes))
     self.mesh = mesh
-    rest = self.shape[1:]
-    ext_shape = (h_loc + lo + hi,) + rest
+
+    # per sharded array axis: mesh extent, local extent, halo widths
+    mesh_shape = dict(zip(axes, mesh.devices.shape))
+    local = list(self.shape)
+    halos = []
+    for a, axis_name in enumerate(axes):
+      n_dev = mesh_shape[axis_name]
+      if self.shape[a] % n_dev:
+        raise utils.InputError(
+            'axis %d extent %d not divisible by mesh axis %r (%d)' %
+            (a, self.shape[a], axis_name, n_dev))
+      local[a] = self.shape[a] // n_dev
+      d = dim - 1 - a
+      lo, hi = self.plan.halo_lo[d], self.plan.halo_hi[d]
+      if (lo or hi) and (lo >= local[a] or hi >= local[a]):
+        raise utils.InputError(
+            'halo (%d, %d) exceeds local extent %d on axis %d' %
+            (lo, hi, local[a], a))
+      halos.append((lo, hi, n_dev, axis_name))
+
+    ext_shape = tuple(
+        local[a] + (halos[a][0] + halos[a][1] if a < len(axes) else 0)
+        for a in range(dim))
     stencil_ref = stencil
     plan = self.plan
     input_names = stencil.input_names
@@ -92,30 +109,42 @@ class ShardedExecutor:
         return xla_backend.forward(stencil_ref, arrays, params, ext_shape,
                                    plan)
 
-    fwd = [(i, i + 1) for i in range(n_dev - 1)]  # to next (halo_lo src)
-    bwd = [(i + 1, i) for i in range(n_dev - 1)]  # to prev (halo_hi src)
+    def exchange(a, array, axis_idx):
+      """Extend ``array`` along axis ``axis_idx`` with neighbor halos."""
+      lo, hi, n_dev, axis_name = halos[axis_idx]
+      fwd = [(i, i + 1) for i in range(n_dev - 1)]
+      bwd = [(i + 1, i) for i in range(n_dev - 1)]
+      parts = []
+      sl_lo = [slice(None)] * array.ndim
+      sl_hi = [slice(None)] * array.ndim
+      if lo:
+        sl_lo[axis_idx] = slice(-lo, None)
+        parts.append(lax.ppermute(array[tuple(sl_lo)], axis_name, fwd))
+      parts.append(array)
+      if hi:
+        sl_hi[axis_idx] = slice(0, hi)
+        parts.append(lax.ppermute(array[tuple(sl_hi)], axis_name, bwd))
+      if len(parts) == 1:
+        return array
+      return jnp.concatenate(parts, axis=axis_idx)
 
     def step(*local_arrays):
       arrays = {}
-      for name, a in zip(input_names, local_arrays[:len(input_names)]):
-        parts = []
-        if lo:
-          # my halo_lo rows = last lo rows of the previous device
-          parts.append(lax.ppermute(a[-lo:], axis, fwd))
-        parts.append(a)
-        if hi:
-          # my halo_hi rows = first hi rows of the next device
-          parts.append(lax.ppermute(a[:hi], axis, bwd))
-        arrays[name] = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
-            else a
-      params = dict(
-          zip(param_names, local_arrays[len(input_names):]))
+      for name, arr in zip(input_names, local_arrays[:len(input_names)]):
+        for axis_idx in range(len(axes)):
+          arr = exchange(name, arr, axis_idx)
+        arrays[name] = arr
+      params = dict(zip(param_names, local_arrays[len(input_names):]))
       outs = run_local(arrays, params)
-      return tuple(outs[name][lo:lo + h_loc] for name in output_names)
+      crops = tuple(
+          slice(halos[a][0], halos[a][0] + local[a]) if a < len(axes)
+          else slice(None) for a in range(dim))
+      return tuple(outs[name][crops] for name in output_names)
 
-    in_specs = tuple([P(axis)] * len(input_names) +
+    shard_spec = P(*axes)
+    in_specs = tuple([shard_spec] * len(input_names) +
                      [P()] * len(param_names))
-    out_specs = tuple([P(axis)] * len(output_names))
+    out_specs = tuple([shard_spec] * len(output_names))
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the checker would otherwise reject
     sharded = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
@@ -123,19 +152,23 @@ class ShardedExecutor:
     self._fn = jax.jit(sharded)
     self._jnp = jnp
 
+  @property
+  def fn(self):
+    return self._fn
+
   def prepare(self, inputs: Mapping, params: Optional[Mapping] = None):
     """Wrap + device-put arguments in positional order."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     jnp = self._jnp
     stencil = self.stencil
-    (axis,) = self.mesh.axis_names
+    axes = tuple(self.mesh.axis_names)
     args = []
     for name in stencil.input_names:
       arr = semantics.wrap(jnp, jnp.asarray(inputs[name]),
                            stencil.symbol_table[name])
       args.append(
-          jax.device_put(arr, NamedSharding(self.mesh, P(axis))))
+          jax.device_put(arr, NamedSharding(self.mesh, P(*axes))))
     params = dict(params or {})
     for name in stencil.param_names:
       args.append(

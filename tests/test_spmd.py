@@ -16,12 +16,12 @@ from soda_tpu.parallel.spmd import ShardedExecutor
 from checks import assert_close_reference
 
 
-def check_sharded(name, shape, inner='xla'):
+def check_sharded(name, shape, inner='xla', mesh=None):
   stencil = corpus.build(name)
   inputs = reference.make_test_inputs(stencil, shape)
   params = reference.make_test_params(stencil)
   want = reference.run(stencil, inputs, params)
-  ex = ShardedExecutor(stencil, shape, inner=inner)
+  ex = ShardedExecutor(stencil, shape, inner=inner, mesh=mesh)
   got = ex(inputs, params)
   for out_name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, out_name)
@@ -54,3 +54,23 @@ def test_indivisible_extent_rejected():
   stencil = corpus.build('blur')
   with pytest.raises(Exception):
     ShardedExecutor(stencil, (81, 64))
+
+
+def _mesh_2d(rows, cols):
+  import numpy as np
+  from jax.sharding import Mesh
+  devices = np.array(jax.devices()[:rows * cols]).reshape(rows, cols)
+  return Mesh(devices, ('x', 'y'))
+
+
+@pytest.mark.parametrize('name,shape', [
+    ('jacobi2d', (64, 64)),       # iterate=2: halo 2 each way
+    ('seidel2d', (64, 64)),       # diagonal taps need corner halos
+    ('sobel2d', (64, 64)),
+])
+def test_2d_mesh_matches_oracle(name, shape):
+  check_sharded(name, shape, mesh=_mesh_2d(4, 2))
+
+
+def test_2d_mesh_3d_grid():
+  check_sharded('heat3d', (32, 64, 32), mesh=_mesh_2d(2, 4))
