@@ -112,10 +112,12 @@ class PallasExecutor:
 
   def __init__(self, stencil, shape: Tuple[int, ...],
                block_rows: Optional[int] = None,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               lane_shift: str = 'slice'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
+    self.lane_shift = lane_shift
     self.plan = make_plan(stencil, 'full')
     if len(self.shape) != self.plan.dim:
       raise utils.InputError('expected %d-D arrays, got %d-D' %
@@ -194,11 +196,12 @@ class PallasExecutor:
 
     # Valid slab-coordinate margins per tensor, per array axis: a stage
     # cell is computable where every load hits a written / in-slab cell
-    # of its parent. All static. The minor (lane) axis is exempt: lane
-    # shifts use a rotate of the loaded value instead of a shifted
-    # slice (lane-crossing vector loads are far more expensive than the
-    # VPU's lane rotate), and rotate wrap-around only contaminates the
-    # globally-invalid border columns.
+    # of its parent. All static. With lane_shift='rotate', the minor
+    # (lane) axis is exempt: lane shifts rotate the loaded value
+    # instead of slicing across lanes, and rotate wrap-around only
+    # contaminates the globally-invalid border columns.
+    rotate_lanes = self.lane_shift == 'rotate'
+    n_margin_axes = dim - 1 if rotate_lanes else dim
     size = (s,) + rest
     slab_margins: Dict[str, Tuple[Tuple[int, int], ...]] = {
         name: ((0, 0),) * dim for name in stencil.input_names
@@ -211,7 +214,7 @@ class PallasExecutor:
           continue
         p_m = slab_margins[parent_name]
         for ref in refs_:
-          for a in range(dim - 1):  # minor axis handled by rotates
+          for a in range(n_margin_axes):
             d = dim - 1 - a
             delta = ref.idx[d] - st_idx[d]
             margins[a][0] = max(margins[a][0], p_m[a][0] - delta)
@@ -309,16 +312,18 @@ class PallasExecutor:
             return params[ref.name][tuple(ref.idx)]
           src, lead = parent_ref(ref.name)
           idx = list(lead)
-          for a in range(dim - 1):
+          for a in range(n_margin_axes):
             d = dim - 1 - a
             delta = ref.idx[d] - _st[d]
             idx.append(slice(_region[a].start + delta,
                              _region[a].stop + delta))
-          idx.append(slice(None))
+          if rotate_lanes:
+            idx.append(slice(None))
           value = src[tuple(idx)]
-          lane_delta = ref.idx[0] - _st[0]
-          if lane_delta:
-            value = lane_roll(value, lane_delta)
+          if rotate_lanes:
+            lane_delta = ref.idx[0] - _st[0]
+            if lane_delta:
+              value = lane_roll(value, lane_delta)
           return value
 
         def param(name, idx):
@@ -407,12 +412,25 @@ class PallasExecutor:
       ins = arrays[:n_args]
       pars = arrays[n_args:]
       if needs_pad:
-        ins = tuple(jnp.pad(a, pads) for a in ins)
-      outs = call(*ins, *pars)
+        padded = tuple(jnp.pad(a, pads) for a in ins)
+      else:
+        padded = ins
+      outs = call(*padded, *pars)
       if not isinstance(outs, (list, tuple)):
         outs = (outs,)
       if needs_pad:
         outs = tuple(o[crop] for o in outs)
+      if stencil.preserve_border:
+        # border: preserve — boundary cells carry the paired input
+        from soda_tpu.backend.reference import output_valid_slices
+        fixed = []
+        for k, name in enumerate(stencil.output_names):
+          paired = k if len(stencil.input_names) == n_out else 0
+          base = semantics.wrap(jnp, ins[paired],
+                                stencil.symbol_table[name])
+          region = output_valid_slices(stencil, real_shape, name)
+          fixed.append(base.at[region].set(outs[k][region]))
+        outs = tuple(fixed)
       return outs
 
     return fn

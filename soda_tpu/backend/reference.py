@@ -87,6 +87,20 @@ class ReferenceExecutor:
         continue
       arrays[tensor.name] = self._produce(tensor, arrays, params, shape)
 
+    if stencil.preserve_border:
+      # border: preserve — cells outside the valid region keep the
+      # paired input's values (outputs pair with inputs positionally;
+      # the reference reserves this directive without implementing it)
+      for k, name in enumerate(stencil.output_names):
+        paired = stencil.input_names[
+            k if len(stencil.input_names) == len(stencil.output_names)
+            else 0]
+        base = semantics.wrap(np, arrays[paired],
+                              stencil.symbol_table[name]).copy()
+        region = output_valid_slices(stencil, shape, name)
+        base[region] = arrays[name][region]
+        arrays[name] = base
+
     if return_locals:
       return arrays
     return {name: arrays[name] for name in stencil.output_names}

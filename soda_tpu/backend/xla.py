@@ -128,7 +128,18 @@ class XlaExecutor:
     params = {k: jnp.asarray(v) for k, v in dict(params or {}).items()}
     for fn in self._group_fns:
       arrays.update(fn(arrays, params))
-    return {name: arrays[name] for name in stencil.output_names}
+    outs = {name: arrays[name] for name in stencil.output_names}
+    if stencil.preserve_border:
+      from soda_tpu.backend.reference import output_valid_slices
+      for k, name in enumerate(stencil.output_names):
+        paired = stencil.input_names[
+            k if len(stencil.input_names) == len(stencil.output_names)
+            else 0]
+        base = semantics.wrap(jnp, arrays[paired],
+                              stencil.symbol_table[name])
+        region = output_valid_slices(stencil, self.shape, name)
+        outs[name] = base.at[region].set(outs[name][region])
+    return outs
 
 
 def compile_stencil(stencil, shape, **kwargs) -> XlaExecutor:
