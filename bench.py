@@ -144,11 +144,48 @@ def bench_kernel(name, shape, overrides, peak_gbps):
   gbps = (in_bytes + out_bytes) / dt / 1e9
   frac = gbps / peak_gbps
   cells_per_s = cells * stencil.iterate / dt
+
+  # comparison point: the XLA whole-grid path (the reference-style
+  # implementation — each stage a full-array op, no manual blocking)
+  xla_dt = None
+  try:
+    from soda_tpu.backend import xla as xla_backend
+    base_ins = {
+        n2: jnp.asarray(inputs[n2]) for n2 in stencil.input_names
+    }
+
+    def xla_once(x):
+      ins = dict(base_ins)
+      ins[stencil.input_names[chain_idx]] = x
+      return xla_backend.forward(stencil, ins, {}, shape)[out0]
+
+    def xla_make(n):
+      return jax.jit(
+          lambda a0: lax.fori_loop(0, n, lambda i, a: xla_once(a), a0))
+
+    g_small, g_big = xla_make(N_SMALL), xla_make(n_big)
+
+    def timed_x(f):
+      t0 = time.perf_counter()
+      out = f(x0)
+      _ = jnp.sum(out.reshape(-1)[:1]).item()
+      return time.perf_counter() - t0
+
+    timed_x(g_small)
+    timed_x(g_big)
+    xs = min(timed_x(g_small) for _ in range(2))
+    xb = min(timed_x(g_big) for _ in range(2))
+    xla_dt = max((xb - xs) / (n_big - N_SMALL), 1e-9)
+  except Exception as e:  # pragma: no cover - informational only
+    log('xla comparison failed for %s: %r' % (name, e))
+
+  speedup = (xla_dt / dt) if xla_dt else None
   log('%-10s shape=%s block=%d grid=%d time=%.3fms eff=%.1fGB/s '
-      'roofline=%.1f%% cells/s=%.3g compile=%.1fs' %
+      'roofline=%.1f%% cells/s=%.3g xla=%.3fms speedup=%.2fx '
+      'compile=%.1fs' %
       (name, shape, ex.block_rows, ex.grid, dt * 1e3, gbps, frac * 100,
-       cells_per_s, compile_s))
-  return frac, gbps, cells_per_s, dt
+       cells_per_s, (xla_dt or 0) * 1e3, speedup or 0, compile_s))
+  return frac, gbps, cells_per_s, dt, speedup
 
 
 def main():
@@ -166,11 +203,14 @@ def main():
   details = {}
   for name, shape, overrides in CONFIGS:
     try:
-      frac, gbps, cps, dt = bench_kernel(name, shape, overrides, peak)
+      frac, gbps, cps, dt, speedup = bench_kernel(name, shape, overrides,
+                                                  peak)
       fracs.append(frac)
       details[name] = {'roofline_frac': round(frac, 4),
                        'gbps': round(gbps, 1),
-                       'cells_per_s': cps, 'ms': round(dt * 1e3, 3)}
+                       'cells_per_s': cps, 'ms': round(dt * 1e3, 3),
+                       'speedup_vs_xla': round(speedup, 2) if speedup
+                       else None}
     except Exception as e:  # keep the bench robust: report what ran
       log('FAILED %s: %r' % (name, e))
   if not fracs:

@@ -204,6 +204,10 @@ def _run(stencil, args) -> int:
   outs = executor(inputs, params)
   compile_and_run_s = time.perf_counter() - t0
 
+  import os
+  # THRESHOLD env override, same knob as the generated hosts
+  # (reference frt/host.py:633-641, xilinx/host.py:1201-1204)
+  threshold = float(os.environ.get('THRESHOLD', '0.00001'))
   errors = 0
   for name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, name)
@@ -212,7 +216,7 @@ def _run(stencil, args) -> int:
     if stencil.symbol_table[name].is_float:
       d2 = (got.astype(np.float64) - expect.astype(np.float64)) ** 2
       w2 = expect.astype(np.float64) ** 2
-      bad = (d2 > 1e-5) & (d2 > 1e-5 * w2)
+      bad = (d2 > threshold) & (d2 > threshold * w2)
     else:
       bad = got != expect
     errors += int(bad.sum())

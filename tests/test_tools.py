@@ -1,0 +1,46 @@
+"""Tool / aux-subsystem tests: calc-cost, compiled stats, cache."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from soda_tpu import corpus
+from soda_tpu.backend import reference
+from soda_tpu.backend.pallas_kernel import PallasExecutor
+from soda_tpu.model.compiled import compiled_stats
+
+
+def test_calc_cost_cli():
+  schedule = {'distance': 10,
+              'left': {'distance': 1, 'left': 1, 'right': 1},
+              'right': {'distance': 1, 'left': 1, 'right': 1}}
+  r = subprocess.run(
+      [sys.executable, '-m', 'soda_tpu.tools.calc_cost'],
+      input=json.dumps({'schedule': schedule, 'aattrs': None}),
+      capture_output=True, text=True, cwd='/root/repo',
+      env={'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
+           'PYTHONPATH': '/root/repo', 'HOME': '/root'})
+  assert r.returncode == 0, r.stderr
+  out = json.loads(r.stdout)
+  # (x0 + x1) reused at offsets 0 and 10 -> 2 unique ops
+  assert out['num_ops'] == 2
+  assert out['total_distance'] >= 10
+
+
+def test_compiled_stats_reports_memory():
+  stencil = corpus.build('blur')
+  shape = corpus.TEST_DIMS['blur']
+  ex = PallasExecutor(stencil, shape)
+  inputs = reference.make_test_inputs(stencil, shape)
+  stats = compiled_stats(ex, inputs)
+  assert stats.get('output_size_in_bytes') or \
+      stats.get('memory_analysis_error') is None
+
+
+def test_cache_enable(tmp_path):
+  from soda_tpu import cache
+  path = cache.enable(str(tmp_path / 'xla_cache'))
+  import os
+  assert os.path.isdir(path)
