@@ -55,7 +55,8 @@ CONFIGS = (
     ('blur', (8192, 2048), {'tile_size': (2048, 0)}),
     ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)}),
     ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
-    ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
+    ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0),
+                                 'optimizations': {'distribute': True}}),
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}}),

@@ -108,6 +108,13 @@ class Stencil:
     cr.computation_reuse(self)
     if 'inline' in self.optimizations:
       inline.inline(self)
+    if 'distribute' in self.optimizations:
+      # factor shared numeric coefficients: a*c + b*c -> (a + b) * c
+      # (reassociation; bit-exact only for ints — floats stay within
+      # the reference THRESHOLD)
+      for stmt in itertools.chain(self.local_stmts, self.output_stmts):
+        stmt.expr = arithmetic.simplify(
+            arithmetic.reverse_distribute(stmt.expr))
     inline.rebalance(self)
 
     for stmt in itertools.chain(self.local_stmts, self.output_stmts):

@@ -167,7 +167,9 @@ def reverse_distribute(node):
     if not (isinstance(obj, ir.AddSub) and
             all(op == '+' for op in obj.operator)):
       return obj
-    # split each operand into (coefficient-free term, factor or None)
+    # split each operand into (coefficient-free term, factor or None);
+    # a numeric coefficient is the factor regardless of position
+    # (c*x and x*c both group under c)
     groups = {}  # factor -> list of remaining terms
     order = []
     for opd in obj.operand:
@@ -175,8 +177,13 @@ def reverse_distribute(node):
       rest = opd
       if (isinstance(opd, ir.MulDiv) and len(opd.operand) == 2 and
           opd.operator == ('*',)):
-        factor = opd.operand[1]
-        rest = opd.operand[0]
+        if isinstance(opd.operand[0], ir.Num) and \
+            not isinstance(opd.operand[1], ir.Num):
+          factor = opd.operand[0]
+          rest = opd.operand[1]
+        else:
+          factor = opd.operand[1]
+          rest = opd.operand[0]
       key = factor
       if key not in groups:
         groups[key] = []

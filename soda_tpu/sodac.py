@@ -58,6 +58,8 @@ def _build_parser() -> argparse.ArgumentParser:
                             'built-in:greedy', 'built-in:optimal'),
                    default='no')
   opt.add_argument('--inline', action='store_true')
+  opt.add_argument('--distribute', action='store_true',
+                   help='factor shared coefficients: a*c + b*c -> (a+b)*c')
 
   backend = parser.add_argument_group('backends')
   backend.add_argument('--emit-jax', metavar='FILE',
@@ -117,6 +119,8 @@ def main(argv: Optional[list] = None) -> int:
     optimizations['computation-reuse'] = args.computation_reuse
   if args.inline:
     optimizations['inline'] = True
+  if args.distribute:
+    optimizations['distribute'] = True
   if optimizations:
     overrides['optimizations'] = optimizations
 

@@ -1,0 +1,79 @@
+"""Fusion-plan layer tests: margins, halos, VMEM accounting, graphviz."""
+
+import pytest
+
+from soda_tpu import corpus
+from soda_tpu.backend import plan as plan_mod
+
+
+def test_blur_margins_and_halo():
+  stencil = corpus.build('blur')
+  plan = plan_mod.make_plan(stencil)
+  by_name = {s.name: s for s in plan.stages}
+  # blur_x: input(0, 0..2) -> streaming hi=2 only
+  assert by_name['blur_x'].lo == (0, 0)
+  assert by_name['blur_x'].hi == (0, 2)
+  # blur_y adds dim0 reach
+  assert by_name['blur_y'].lo == (0, 0)
+  assert by_name['blur_y'].hi == (2, 2)
+  assert plan.halo_lo == (0, 0)
+  assert plan.halo_hi == (2, 2)
+
+
+def test_erosion_centered_halo():
+  stencil = corpus.build('erosion')
+  plan = plan_mod.make_plan(stencil)
+  assert plan.halo_lo == (9, 9)
+  assert plan.halo_hi == (9, 9)
+
+
+def test_iterate_accumulates_halo():
+  stencil = corpus.build('jacobi2d')  # iterate: 2, 5-point
+  plan = plan_mod.make_plan(stencil)
+  assert plan.halo_lo == (2, 2)
+  assert plan.halo_hi == (2, 2)
+  assert len(plan.stages) == 2  # one per sweep
+
+
+def test_cluster_groups():
+  stencil = corpus.build('sobel2d')
+  assert len(plan_mod.make_plan(stencil, 'full').groups) == 1
+  assert len(plan_mod.make_plan(stencil, 'coarse').groups) == 3
+  with pytest.raises(ValueError):
+    plan_mod.make_plan(stencil, 'autobridge')
+
+
+def test_vmem_bytes_scales_with_block():
+  stencil = corpus.build('jacobi2d')
+  plan = plan_mod.make_plan(stencil)
+  small = plan.vmem_bytes((16, 32))
+  big = plan.vmem_bytes((64, 32))
+  assert 0 < small < big
+
+
+def test_dot_contains_stages_and_edges():
+  stencil = corpus.build('sobel2d')
+  dot = plan_mod.make_plan(stencil).dot()
+  assert '"img" -> "mag_x"' in dot
+  assert '"mag_y" -> "mag"' in dot
+
+
+def test_materialized_margins_vs_window_margins():
+  """On the hand-written corpus: for OUTPUT tensors the compositional
+  margins agree with the reference's overall-window loop bounds; for
+  intermediates they are at least as wide (the window bound ignores
+  parent validity — the unsoundness materialized_margins fixes)."""
+  for name in sorted(corpus.CORPUS):
+    stencil = corpus.build(name)
+    margins = plan_mod.materialized_margins(stencil)
+    for tensor in stencil.chronological_tensors:
+      if tensor.is_input():
+        continue
+      wlo, whi = plan_mod.window_margins(stencil, tensor)
+      mlo, mhi = margins[tensor.name]
+      if tensor.is_output():
+        assert (mlo, mhi) == (wlo, whi), \
+            (name, tensor.name, (mlo, mhi), (wlo, whi))
+      else:
+        assert all(m >= w for m, w in zip(mlo, wlo)), (name, tensor.name)
+        assert all(m >= w for m, w in zip(mhi, whi)), (name, tensor.name)

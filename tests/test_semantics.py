@@ -1,0 +1,65 @@
+"""C-semantics evaluator unit tests: promotion, truncating division,
+wrap-around — the exact rules the generated hosts rely on."""
+
+import numpy as np
+
+from soda_tpu.backend import semantics
+from soda_tpu.ir.types import Type
+
+
+def test_promotion_sub_int_widths():
+  assert semantics.promote(Type('uint16')) == Type('int32')  # C: -> int
+  assert semantics.promote(Type('int8')) == Type('int32')
+  assert semantics.promote(Type('uint32')) == Type('uint32')
+  assert semantics.promote(Type('int64')) == Type('int64')
+  assert semantics.promote(Type('float')) == Type('float')
+
+
+def test_binary_type_unsigned_wins_at_equal_rank():
+  assert semantics.binary_type(Type('uint32'), Type('int32')) == \
+      Type('uint32')
+  assert semantics.binary_type(Type('uint16'), Type('int16')) == \
+      Type('int32')  # both promote to int first
+  assert semantics.binary_type(Type('float'), Type('int32')) == \
+      Type('float')
+  assert semantics.binary_type(Type('float'), Type('double')) == \
+      Type('double')
+
+
+def test_c_int_div_truncates_toward_zero():
+  a = np.array([7, -7, 7, -7, 6, -6], np.int32)
+  b = np.array([2, 2, -2, -2, 3, 3], np.int32)
+  got = semantics.c_int_div(np, a, b)
+  np.testing.assert_array_equal(got, [3, -3, -3, 3, 2, -2])
+
+
+def test_c_int_mod_sign_of_dividend():
+  a = np.array([7, -7, 7, -7], np.int32)
+  b = np.array([3, 3, -3, -3], np.int32)
+  got = semantics.c_int_mod(np, a, b)
+  np.testing.assert_array_equal(got, [1, -1, 1, -1])
+
+
+def test_wrap_nonstandard_width():
+  t = Type('uint6')
+  got = semantics.wrap(np, np.array([63, 64, 65, 130]), t)
+  np.testing.assert_array_equal(got, [63, 0, 1, 2])
+  t = Type('int6')  # [-32, 31] wrap
+  got = semantics.wrap(np, np.array([31, 32, -33]), t)
+  np.testing.assert_array_equal(got, [31, -32, 31])
+
+
+def test_wrap_float_to_int_truncates():
+  got = semantics.wrap(np, np.array([1.9, -1.9]), Type('int32'))
+  np.testing.assert_array_equal(got, [1, -1])
+
+
+def test_fast_int_div_matches_exact():
+  # differential check of the f32 strength reduction on the full
+  # provable range boundary
+  rng = np.random.default_rng(0)
+  n = rng.integers(-(1 << 23) + 1, (1 << 23) - 1, size=20000)
+  for d in (3, 7, 255, 1000):
+    exact = semantics.c_int_div(np, n, np.int64(d))
+    via_f32 = (n.astype(np.float32) / np.float32(d)).astype(np.int64)
+    np.testing.assert_array_equal(via_f32, exact, err_msg='d=%d' % d)
