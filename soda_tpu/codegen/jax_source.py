@@ -124,9 +124,10 @@ class _Sym:
 class _SourceXp:
   """numpy-workalike namespace that builds source instead of values."""
 
-  def __init__(self):
+  def __init__(self, prefix='jnp'):
     self.lines = []
     self.counter = 0
+    self.prefix = prefix
 
   def temp(self, expr: str, dtype) -> _Sym:
     name = '_t%d' % self.counter
@@ -144,23 +145,24 @@ class _SourceXp:
         return v.astype(dtype)
       return v
     if dtype is not None:
-      return self.temp('jnp.asarray(%r, np.%s)' % (v, np.dtype(dtype).name),
+      return self.temp('%s.asarray(%r, np.%s)' % (self.prefix, v, np.dtype(dtype).name),
                        dtype)
     dt = np.dtype(type(v)) if isinstance(v, (int, float)) else None
-    return self.temp('jnp.asarray(%r)' % (v,), dt)
+    return self.temp('%s.asarray(%r)' % (self.prefix, v), dt)
 
   def trunc(self, v):
-    return self.temp('jnp.trunc(%s)' % v.name, v.dtype)
+    return self.temp('%s.trunc(%s)' % (self.prefix, v.name), v.dtype)
 
   def where(self, c, a, b):
     an = a.name if isinstance(a, _Sym) else repr(a)
     bn = b.name if isinstance(b, _Sym) else repr(b)
     dt = a.dtype if isinstance(a, _Sym) else b.dtype
-    return self.temp('jnp.where(%s, %s, %s)' % (c.name, an, bn), dt)
+    return self.temp('%s.where(%s, %s, %s)' % (self.prefix, c.name, an, bn), dt)
 
   def _fn1(name):  # noqa: no self — decorator-style factory
     def method(self, v):
-      return self.temp('jnp.%s(%s)' % (name, v.name), v.dtype)
+      return self.temp('%s.%s(%s)' % (self.prefix, name, v.name),
+                       v.dtype)
     return method
 
   sqrt = _fn1('sqrt')
@@ -178,21 +180,21 @@ class _SourceXp:
   del _fn1
 
   def minimum(self, a, b):
-    return self.temp('jnp.minimum(%s, %s)' % (a.name, b.name), a.dtype)
+    return self.temp('%s.minimum(%s, %s)' % (self.prefix, a.name, b.name), a.dtype)
 
   def maximum(self, a, b):
-    return self.temp('jnp.maximum(%s, %s)' % (a.name, b.name), a.dtype)
+    return self.temp('%s.maximum(%s, %s)' % (self.prefix, a.name, b.name), a.dtype)
 
   def logical_and(self, a, b):
-    return self.temp('jnp.logical_and(%s, %s)' % (a.name, b.name),
+    return self.temp('%s.logical_and(%s, %s)' % (self.prefix, a.name, b.name),
                      np.dtype(bool))
 
   def logical_or(self, a, b):
-    return self.temp('jnp.logical_or(%s, %s)' % (a.name, b.name),
+    return self.temp('%s.logical_or(%s, %s)' % (self.prefix, a.name, b.name),
                      np.dtype(bool))
 
   def power(self, a, b):
-    return self.temp('jnp.power(%s, %s)' % (a.name, b.name), a.dtype)
+    return self.temp('%s.power(%s, %s)' % (self.prefix, a.name, b.name), a.dtype)
 
 
 def _slice_str(slices) -> str:
@@ -205,11 +207,16 @@ def _py_name(name: str) -> str:
   return name + '_' if keyword.iskeyword(name) else name
 
 
-def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
-               ) -> None:
-  """Emit a standalone JAX module computing ``stencil`` on grids of
+def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
+               target: str = 'jax') -> None:
+  """Emit a standalone module computing ``stencil`` on grids of
   ``shape`` (array-axis order; streaming extent may be any value, the
-  emitted code uses symbolic H)."""
+  emitted code uses symbolic H). ``target`` selects the array
+  namespace: 'jax' (jitted) or 'numpy' (pure-NumPy scalar reference —
+  the printed analog of the reference's generated CPU check)."""
+  if target not in ('jax', 'numpy'):
+    raise ValueError('unknown codegen target: %s' % target)
+  prefix = 'jnp' if target == 'jax' else 'np'
   plan = make_plan(stencil, 'full')
   dim = plan.dim
   if shape is None:
@@ -225,7 +232,10 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
      stencil.stencil_distance))
   w(str(stencil))
   w('\n"""\n\n')
-  w('import jax\nimport jax.numpy as jnp\nimport numpy as np\n\n\n')
+  if target == 'jax':
+    w('import jax\nimport jax.numpy as jnp\nimport numpy as np\n\n\n')
+  else:
+    w('import numpy as np\n\n\n')
 
   in_args = ', '.join(map(_py_name,
                           stencil.input_names + stencil.param_names))
@@ -235,7 +245,7 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
   w('  _shape = %s.shape\n' % _py_name(stencil.input_names[0]))
 
   for stage in plan.stages:
-    xp = _SourceXp()
+    xp = _SourceXp(prefix)
     st_idx = stage.tensor.st_idx
     lo, hi = stage.lo, stage.hi
 
@@ -276,15 +286,18 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
     for line in xp.lines:
       w('  %s\n' % line)
     if any(l or h for l, h in zip(lo, hi)):
-      w('  %s = jnp.pad(%s, (%s))\n' % (_py_name(stage.name),
-                                        value.name, pads))
+      w('  %s = ' % _py_name(stage.name) + prefix +
+        '.pad(%s, (%s))\n' % (value.name, pads))
     else:
       w('  %s = %s\n' % (_py_name(stage.name), value.name))
 
   w('\n  return {%s}\n\n\n' % ', '.join(
       "'%s': %s" % (n, _py_name(n)) for n in stencil.output_names))
 
-  w('forward = jax.jit(compute)\n\n\n')
+  if target == 'jax':
+    w('forward = jax.jit(compute)\n\n\n')
+  else:
+    w('forward = compute\n\n\n')
 
   # self-test main (the SODA_TEST_MAIN analog)
   w('def main():\n')
@@ -305,13 +318,17 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None
       (_py_name(stmt.name), tuple(stmt.size), stmt.dtype.np_dtype.name))
   w('  outs = forward(%s)\n' % in_args)
   w('  for name, arr in outs.items():\n')
-  w("    print(name, 'checksum',"
-    ' float(jnp.sum(arr.astype(jnp.float64 '
-    "if jnp.array(0.).dtype == jnp.float64 else jnp.float32))))\n")
+  if target == 'jax':
+    w("    print(name, 'checksum',"
+      ' float(jnp.sum(arr.astype(jnp.float64 '
+      "if jnp.array(0.).dtype == jnp.float64 else jnp.float32))))\n")
+  else:
+    w("    print(name, 'checksum', float(np.sum("
+      'arr.astype(np.float64))))\n')
   w('\n\nif __name__ == "__main__":\n  main()\n')
 
 
-def generate(stencil, shape=None) -> str:
+def generate(stencil, shape=None, target: str = 'jax') -> str:
   buf = io.StringIO()
-  print_code(stencil, buf, shape)
+  print_code(stencil, buf, shape, target)
   return buf.getvalue()

@@ -64,6 +64,8 @@ def _build_parser() -> argparse.ArgumentParser:
   backend = parser.add_argument_group('backends')
   backend.add_argument('--emit-jax', metavar='FILE',
                        help='generate a standalone JAX program (- = stdout)')
+  backend.add_argument('--emit-numpy', metavar='FILE',
+                       help='generate a pure-NumPy reference program')
   backend.add_argument('--emit-dot', metavar='FILE',
                        help='dump the fusion-plan DAG as graphviz')
   backend.add_argument('--estimate', metavar='FILE',
@@ -132,14 +134,17 @@ def main(argv: Optional[list] = None) -> int:
     return 1
 
   did_something = False
-  if args.emit_jax:
+  for emit_arg, target in ((args.emit_jax, 'jax'),
+                           (args.emit_numpy, 'numpy')):
+    if not emit_arg:
+      continue
     from soda_tpu.codegen import jax_source
     shape = _parse_ints(args.shape) if args.shape else None
-    if args.emit_jax == '-':
-      jax_source.print_code(stencil, sys.stdout, shape)
+    if emit_arg == '-':
+      jax_source.print_code(stencil, sys.stdout, shape, target)
     else:
-      with open(args.emit_jax, 'w') as f:
-        jax_source.print_code(stencil, f, shape)
+      with open(emit_arg, 'w') as f:
+        jax_source.print_code(stencil, f, shape, target)
     did_something = True
 
   if args.emit_dot:
