@@ -113,10 +113,15 @@ class PallasExecutor:
   def __init__(self, stencil, shape: Tuple[int, ...],
                block_rows: Optional[int] = None,
                interpret: Optional[bool] = None,
-               lane_shift: str = 'slice'):
+               lane_shift: str = 'auto'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
+    if lane_shift == 'auto':
+      # measured on v5e: for narrow lane extents (~one or two vregs)
+      # the in-register rotate wins by up to 2.2x; for wide rows the
+      # lane-crossing shifted load wins
+      lane_shift = 'rotate' if shape[-1] <= 256 else 'slice'
     self.lane_shift = lane_shift
     self.plan = make_plan(stencil, 'full')
     if len(self.shape) != self.plan.dim:

@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 from soda_tpu import utils
 from soda_tpu.ir import nodes as ir
-from soda_tpu.ir.types import Type
+from soda_tpu.ir.types import Type, common_type
 
 # C "usual arithmetic conversions": integer types narrower than int are
 # promoted to int before any arithmetic. (C11 §6.3.1.1; the generated
@@ -253,13 +253,19 @@ class Evaluator:
     xp = self.xp
     name = node.name
     if name in ('min', 'max'):
-      # lazy fold (see _eval_chain): bounds live temporaries
+      # lazy fold (see _eval_chain): bounds live temporaries. Unlike
+      # arithmetic, min/max need no integer promotion — the result in
+      # the narrow type is bit-identical, and half-width VPU ops run
+      # 2x faster on TPU.
       fn = xp.minimum if name == 'min' else xp.maximum
       acc, acc_t = self.eval(node.operand[0])
       for opd in node.operand[1:]:
         val, val_t = self.eval(opd)
-        acc, val, acc_t = self._coerce_pair(acc, acc_t, val, val_t)
-        acc = fn(acc, val)
+        out = common_type(acc_t, val_t)
+        if out is None:
+          out = binary_type(acc_t, val_t)
+        acc = fn(_as(xp, acc, out), _as(xp, val, out))
+        acc_t = out
       return acc, acc_t
     args = [self.eval(o) for o in node.operand]
     if name == 'select':
