@@ -253,19 +253,16 @@ class Evaluator:
     xp = self.xp
     name = node.name
     if name in ('min', 'max'):
-      # lazy fold (see _eval_chain): bounds live temporaries. Unlike
-      # arithmetic, min/max need no integer promotion — the result in
-      # the narrow type is bit-identical, and half-width VPU ops run
-      # 2x faster on TPU.
+      # lazy fold (see _eval_chain): bounds live temporaries.
+      # NOTE: min/max would be bit-identical without integer promotion
+      # (and 2x faster at 16 bits), but current Mosaic cannot legalize
+      # sub-32-bit arith.minsi — so ints keep the C promotion.
       fn = xp.minimum if name == 'min' else xp.maximum
       acc, acc_t = self.eval(node.operand[0])
       for opd in node.operand[1:]:
         val, val_t = self.eval(opd)
-        out = common_type(acc_t, val_t)
-        if out is None:
-          out = binary_type(acc_t, val_t)
-        acc = fn(_as(xp, acc, out), _as(xp, val, out))
-        acc_t = out
+        acc, val, acc_t = self._coerce_pair(acc, acc_t, val, val_t)
+        acc = fn(acc, val)
       return acc, acc_t
     args = [self.eval(o) for o in node.operand]
     if name == 'select':

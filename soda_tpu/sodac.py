@@ -70,6 +70,9 @@ def _build_parser() -> argparse.ArgumentParser:
                        help='dump the fusion-plan DAG as graphviz')
   backend.add_argument('--estimate', metavar='FILE',
                        help='write the analytic performance estimate JSON')
+  backend.add_argument('--compile-stats', metavar='FILE',
+                       help='compile the fused kernel and dump XLA cost/'
+                            'memory analysis (the csynth-report analog)')
   backend.add_argument('--run', action='store_true',
                        help='execute and self-test against the oracle')
   backend.add_argument('--bench', action='store_true',
@@ -173,6 +176,25 @@ def main(argv: Optional[list] = None) -> int:
     else:
       with open(args.estimate, 'w') as f:
         model.print_estimation(stencil, shape, f, device)
+    did_something = True
+
+  if args.compile_stats:
+    import json as json_mod
+    from soda_tpu.backend import reference
+    from soda_tpu.backend.pallas_kernel import PallasExecutor
+    from soda_tpu.model.compiled import compiled_stats
+    shape = _parse_ints(args.shape) if args.shape else \
+        _default_shape(stencil)
+    executor = PallasExecutor(stencil, shape)
+    inputs = reference.make_test_inputs(stencil, shape)
+    params = reference.make_test_params(stencil)
+    stats = compiled_stats(executor, inputs, params)
+    text = json_mod.dumps(stats, indent=2, default=str) + '\n'
+    if args.compile_stats == '-':
+      sys.stdout.write(text)
+    else:
+      with open(args.compile_stats, 'w') as f:
+        f.write(text)
     did_something = True
 
   if args.run:
