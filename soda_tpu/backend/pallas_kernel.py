@@ -127,6 +127,10 @@ class PallasExecutor:
     if len(self.shape) != self.plan.dim:
       raise utils.InputError('expected %d-D arrays, got %d-D' %
                              (self.plan.dim, len(self.shape)))
+    if self.plan.dim < 2:
+      raise utils.InputError(
+          'the Pallas backend needs >= 2-D grids (TPU vector registers '
+          'are 2-D); use the XLA backend for 1-D stencils')
     if interpret is None:
       interpret = jax.default_backend() != 'tpu'
     self.interpret = interpret
@@ -198,6 +202,14 @@ class PallasExecutor:
     base_mid = b - static_start(1) if n_blocks > 1 else lo
     base_tail = ((n_blocks - 1) * b - static_start(n_blocks - 1)
                  if n_blocks > 1 else 0)
+    # construction invariants (the deadlock-freedom analog of the
+    # reference's verify_mode_depths, dataflow.py:43-92): every block
+    # class that can occur reads a fully in-slab window
+    if n_blocks > 1:
+      live = [base_first, base_tail] + \
+          ([base_mid] if n_blocks > 2 else [])
+      for base in live:
+        assert 0 <= base and base + b <= s, (base, b, s, lo, self.hi)
 
     # Valid slab-coordinate margins per tensor, per array axis: a stage
     # cell is computable where every load hits a written / in-slab cell

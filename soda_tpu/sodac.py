@@ -84,6 +84,9 @@ def _build_parser() -> argparse.ArgumentParser:
                        help='grid shape, comma-separated, streaming axis '
                             'first (default: derived from tile size)')
   backend.add_argument('--seed', type=int, default=0)
+  backend.add_argument('--mesh', type=str,
+                       help='device mesh shape for --backend sharded, '
+                            'e.g. 8 or 4,2 (default: all devices x 1)')
   return parser
 
 
@@ -229,7 +232,17 @@ def _run(stencil, args) -> int:
     executor = XlaExecutor(stencil, shape)
   else:
     from soda_tpu.parallel.spmd import ShardedExecutor
-    executor = ShardedExecutor(stencil, shape)
+    mesh = None
+    if args.mesh:
+      import jax
+      from jax.sharding import Mesh
+      dims = _parse_ints(args.mesh)
+      n = 1
+      for d in dims:
+        n *= d
+      devices = np.array(jax.devices()[:n]).reshape(dims)
+      mesh = Mesh(devices, tuple('xy'[:len(dims)]))
+    executor = ShardedExecutor(stencil, shape, mesh=mesh)
 
   t0 = time.perf_counter()
   outs = executor(inputs, params)
