@@ -224,12 +224,9 @@ def _run(stencil, args) -> int:
   want = reference.run(stencil, inputs, params)
 
   backend = args.backend
-  if backend in ('auto', 'pallas'):
-    from soda_tpu.backend.pallas_kernel import PallasExecutor
-    executor = PallasExecutor(stencil, shape)
-  elif backend == 'xla':
-    from soda_tpu.backend.xla import XlaExecutor
-    executor = XlaExecutor(stencil, shape)
+  if backend in ('auto', 'pallas', 'xla'):
+    from soda_tpu.backend import get_executor
+    executor = get_executor(stencil, shape, backend)
   else:
     from soda_tpu.parallel.spmd import ShardedExecutor
     mesh = None
