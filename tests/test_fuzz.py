@@ -1,0 +1,97 @@
+"""Differential fuzzing: random stencil programs, all executors vs the
+NumPy oracle.
+
+Random multi-stage programs over random windows / types / operators
+catch semantics edge cases the hand-written corpus misses (type
+promotion chains, store offsets, margins). Failures print the full DSL
+program for reproduction.
+"""
+
+import numpy as np
+import pytest
+
+from soda_tpu.api import build_stencil
+from soda_tpu.backend import reference
+from soda_tpu.backend.pallas_kernel import PallasExecutor
+from soda_tpu.backend.xla import XlaExecutor
+
+from checks import assert_close_reference
+
+INT_TYPES = ('int16', 'uint16', 'int32', 'int8')
+FLOAT_TYPES = ('float',)
+
+
+def gen_program(rng: np.random.Generator, dim: int) -> str:
+  is_float = bool(rng.integers(0, 2))
+  types = FLOAT_TYPES if is_float else INT_TYPES
+
+  def rand_type():
+    return types[rng.integers(0, len(types))]
+
+  def rand_idx(span=2):
+    return tuple(int(rng.integers(-span, span + 1)) for _ in range(dim))
+
+  def idx_str(idx):
+    return ', '.join(map(str, idx))
+
+  in_type = rand_type()
+  names = ['src']
+  lines = [
+      'kernel: fuzz',
+      'burst width: 64',
+      'unroll factor: 2',
+      'iterate: 1',
+      'border: ignore',
+      'cluster: none',
+      'input dram 0 %s: src(%s, *)' % (
+          in_type, ', '.join(['32'] * (dim - 1))),
+  ]
+  n_stages = int(rng.integers(1, 4))
+  for k in range(n_stages + 1):  # locals + one output
+    is_out = k == n_stages
+    name = 'out' if is_out else 't%d' % k
+    parent = names[rng.integers(0, len(names))]
+    n_taps = int(rng.integers(2, 6))
+    taps = []
+    for _ in range(n_taps):
+      ref = '%s(%s)' % (parent, idx_str(rand_idx()))
+      if is_float:
+        coeff = rng.random() * 2 - 1
+        taps.append('%s * %.4ff' % (ref, coeff))
+      else:
+        coeff = int(rng.integers(-3, 4)) or 1
+        taps.append('%s * %d' % (ref, coeff))
+    op = ' + ' if rng.integers(0, 2) or is_float else ' + '
+    expr = op.join(taps)
+    if not is_float and rng.integers(0, 3) == 0:
+      expr = 'min(%s, %s(%s))' % (expr, parent, idx_str(rand_idx()))
+    dtype = rand_type()
+    store = rand_idx(1)
+    kind = 'output dram 1' if is_out else 'local'
+    lines.append('%s %s: %s(%s) = %s' % (kind, dtype, name,
+                                         idx_str(store), expr))
+    names.append(name)
+  return '\n'.join(lines)
+
+
+@pytest.mark.parametrize('seed', range(24))
+def test_fuzz_backends_match_oracle(seed):
+  rng = np.random.default_rng(seed)
+  dim = 2 if seed % 3 else 3
+  program = gen_program(rng, dim)
+  try:
+    stencil = build_stencil(program)
+  except Exception as e:  # semantic rejects are fine (e.g. dup names)
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (24, 32) if dim == 2 else (16, 16, 32)
+  inputs = reference.make_test_inputs(stencil, shape, seed=seed)
+  want = reference.run(stencil, inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  is_float = stencil.symbol_table['out'].is_float
+  for cls in (XlaExecutor, PallasExecutor):
+    got = cls(stencil, shape)(inputs)
+    assert_close_reference(
+        np.asarray(got['out'])[region], want['out'][region], is_float,
+        '%s seed=%d\n%s' % (cls.__name__, seed, program))
