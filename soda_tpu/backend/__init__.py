@@ -37,7 +37,18 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
   """Build an executor: 'pallas', 'xla', 'sharded', or 'auto'
   (pallas when the working set fits VMEM, else xla)."""
   if backend == 'auto':
-    backend = 'pallas' if pallas_fits(stencil, shape) else 'xla'
+    if pallas_fits(stencil, shape):
+      backend = 'pallas'
+    elif len(shape) == 3:
+      # oversized cross-section: mid-dimension tiling over the fused
+      # kernel (halo-overlapped, reference host-tiling analog)
+      from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+      try:
+        return MidTiledPallasExecutor(stencil, shape, **kwargs)
+      except Exception:  # noqa: BLE001 - fall through to XLA
+        backend = 'xla'
+    else:
+      backend = 'xla'
   if backend == 'pallas':
     from soda_tpu.backend.pallas_kernel import PallasExecutor
     return PallasExecutor(stencil, shape, **kwargs)

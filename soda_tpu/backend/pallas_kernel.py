@@ -455,25 +455,7 @@ class PallasExecutor:
   # -- execution ----------------------------------------------------------------
   def prepare(self, inputs: Mapping[str, np.ndarray],
               params: Optional[Mapping[str, np.ndarray]] = None):
-    """Wrap + device-put arguments (positional order for self.fn)."""
-    import jax
-    import jax.numpy as jnp
-    stencil = self.stencil
-    args = []
-    for name in stencil.input_names:
-      if name not in inputs:
-        raise utils.InputError('missing input: %s' % name)
-      arr = jnp.asarray(inputs[name])
-      if arr.shape != self.shape:
-        raise utils.InputError('input %s shape %s != compiled shape %s' %
-                               (name, arr.shape, self.shape))
-      args.append(
-          jax.device_put(semantics.wrap(jnp, arr,
-                                        stencil.symbol_table[name])))
-    params = dict(params or {})
-    for name in stencil.param_names:
-      args.append(jax.device_put(jnp.asarray(params[name])))
-    return tuple(args)
+    return _prepare_args(self, inputs, params)
 
   @property
   def fn(self):
@@ -486,3 +468,111 @@ class PallasExecutor:
                ) -> Dict[str, np.ndarray]:
     outs = self._fn(*self.prepare(inputs, params))
     return dict(zip(self.stencil.output_names, outs))
+
+
+class MidTiledPallasExecutor:
+  """Fused Pallas kernel over mid-dimension tiles (3-D grids whose
+  cross-section exceeds the VMEM slab budget).
+
+  The mid axis (array axis 1) is split into halo-overlapped tiles —
+  the in-JAX analog of the reference host's halo-overlapped spatial
+  tiling (host.py:641-701) — and every tile runs the SAME compiled
+  fused kernel; outputs are concatenated. Extra HBM traffic is only
+  the duplicated mid halos (halo/tile fraction).
+  """
+
+  def __init__(self, stencil, shape: Tuple[int, ...],
+               mid_tile: Optional[int] = None, **kwargs):
+    import jax
+    import jax.numpy as jnp
+    self.stencil = stencil
+    self.shape = tuple(shape)
+    self.plan = make_plan(stencil, 'full')
+    dim = self.plan.dim
+    if dim != 3:
+      raise utils.InputError('mid tiling applies to 3-D grids only')
+    h, m, w_ = self.shape
+    # mid-axis halo: DSL dim 1 <-> array axis 1
+    mlo = self.plan.halo_lo[1]
+    mhi = self.plan.halo_hi[1]
+    if mid_tile is None:
+      mid_tile = m
+      while mid_tile > 8:
+        ext = min(m, mid_tile + mlo + mhi)
+        probe = (h, ext, w_)
+        blk = choose_block_rows(self.plan, probe)
+        lo8 = _pad_to(self.plan.halo_lo[dim - 1], _ALIGN)
+        s = _pad_to(blk + lo8 + self.plan.halo_hi[dim - 1], _ALIGN)
+        if self.plan.vmem_bytes((s, ext, w_)) <= _VMEM_BUDGET:
+          break
+        mid_tile //= 2
+    mid_tile = max(8, _pad_to(min(mid_tile, m), _ALIGN))
+    self.mid_tile = mid_tile
+    ext = min(m, mid_tile + mlo + mhi)
+    if mlo >= mid_tile or mhi >= mid_tile:
+      raise utils.InputError('mid halo (%d, %d) exceeds tile %d' %
+                             (mlo, mhi, mid_tile))
+    inner = PallasExecutor(stencil, (h, ext, w_), **kwargs)
+    self.inner = inner
+    self.block_rows = inner.block_rows
+    self.grid = inner.grid
+    self.interpret = inner.interpret
+    n_tiles = -(-m // mid_tile)
+    self.n_tiles = n_tiles
+    n_in = len(stencil.input_names)
+
+    def fn(*arrays):
+      ins = arrays[:n_in]
+      pars = arrays[n_in:]
+      tiles = []
+      for j in range(n_tiles):
+        start = min(max(j * mid_tile - mlo, 0), m - ext)
+        sub = tuple(a[:, start:start + ext, :] for a in ins)
+        outs = inner._fn(*sub, *pars)
+        local = j * mid_tile - start
+        take = min(mid_tile, m - j * mid_tile)
+        tiles.append(tuple(o[:, local:local + take, :] for o in outs))
+      return tuple(
+          jnp.concatenate([t[k] for t in tiles], axis=1)
+          for k in range(len(stencil.output_names)))
+
+    self._fn = jax.jit(fn)
+
+  def prepare(self, inputs: Mapping[str, np.ndarray],
+              params: Optional[Mapping[str, np.ndarray]] = None):
+    return _prepare_args(self, inputs, params)
+
+  @property
+  def fn(self):
+    """Jitted positional callable: fn(*inputs, *params) -> (outputs...)."""
+    return self._fn
+
+  def __call__(self,
+               inputs: Mapping[str, np.ndarray],
+               params: Optional[Mapping[str, np.ndarray]] = None
+               ) -> Dict[str, np.ndarray]:
+    outs = self._fn(*self.prepare(inputs, params))
+    return dict(zip(self.stencil.output_names, outs))
+
+
+def _prepare_args(executor, inputs: Mapping[str, np.ndarray],
+                  params: Optional[Mapping[str, np.ndarray]] = None):
+  """Wrap + device-put arguments (positional order for executor.fn)."""
+  import jax
+  import jax.numpy as jnp
+  stencil = executor.stencil
+  args = []
+  for name in stencil.input_names:
+    if name not in inputs:
+      raise utils.InputError('missing input: %s' % name)
+    arr = jnp.asarray(inputs[name])
+    if arr.shape != executor.shape:
+      raise utils.InputError('input %s shape %s != compiled shape %s' %
+                             (name, arr.shape, executor.shape))
+    args.append(
+        jax.device_put(semantics.wrap(jnp, arr,
+                                      stencil.symbol_table[name])))
+  params = dict(params or {})
+  for name in stencil.param_names:
+    args.append(jax.device_put(jnp.asarray(params[name])))
+  return tuple(args)
