@@ -14,22 +14,15 @@ from typing import Optional, Tuple
 
 def pallas_fits(stencil, shape: Tuple[int, ...],
                 budget: Optional[int] = None) -> bool:
-  """Whether the fused Pallas kernel's working set fits VMEM at the
-  minimum block size."""
+  """Whether the fused Pallas kernel's working set fits the VMEM budget
+  at the minimum block size (same estimator as choose_block_rows)."""
   from soda_tpu.backend import pallas_kernel
   from soda_tpu.backend.plan import make_plan
   plan = make_plan(stencil, 'full')
   if plan.dim < 2:
     return False
-  b = pallas_kernel.choose_block_rows(
-      plan, shape, budget or pallas_kernel._VMEM_BUDGET)
-  # choose_block_rows returns its minimum even when over budget; verify
-  lo = pallas_kernel._pad_to(plan.halo_lo[plan.dim - 1],
-                             pallas_kernel._ALIGN)
-  s = pallas_kernel._pad_to(b + lo + plan.halo_hi[plan.dim - 1],
-                            pallas_kernel._ALIGN)
-  est = plan.vmem_bytes((s,) + tuple(shape[1:]))
-  return est <= (budget or pallas_kernel._VMEM_BUDGET) * 2
+  budget = budget or pallas_kernel._VMEM_BUDGET
+  return pallas_kernel.estimate_vmem(plan, shape, 8) <= budget
 
 
 def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',

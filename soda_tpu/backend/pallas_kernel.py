@@ -64,35 +64,43 @@ def _padded_cells(shape: Tuple[int, ...]) -> int:
   return int(np.prod(padded))
 
 
+def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
+                  block_rows: int) -> int:
+  """Working-set estimate of the fused kernel at a given block size:
+  double-buffered input slabs + per-stage scratch + fold temporaries +
+  Pallas's double-buffered output blocks."""
+  dim = plan.dim
+  lo = _pad_to(plan.halo_lo[dim - 1], _ALIGN)
+  hi = plan.halo_hi[dim - 1]
+  rest = shape[1:]
+  s = _pad_to(block_rows + lo + hi, _ALIGN)
+  total = 0
+  for name in plan.stencil.input_names:
+    esize = plan.stencil.symbol_table[name].width_in_bytes
+    total += 2 * _padded_cells((s,) + rest) * esize
+  # per-stage VMEM scratch at storage width...
+  for stage in plan.stages:
+    total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
+  # ...plus transient fold temporaries at compute width for the
+  # widest single stage (accumulator + operand + shifted load)
+  if plan.stages:
+    total += 3 * _padded_cells((s,) + rest) * max(
+        max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
+  # ...plus Pallas's double-buffered output blocks
+  for out_name in plan.stencil.output_names:
+    esize = plan.stencil.symbol_table[out_name].width_in_bytes
+    total += 2 * _padded_cells((block_rows,) + rest) * esize
+  return total
+
+
 def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
                       budget: int = _VMEM_BUDGET) -> int:
   """Largest power-of-two block_rows whose slab working set fits the
   VMEM budget — the analog of the reference's FIFO-depth solve
   (dataflow.py:94-176) for the fused-kernel world."""
-  dim = plan.dim
-  lo = _pad_to(plan.halo_lo[dim - 1], _ALIGN)
-  hi = plan.halo_hi[dim - 1]
-  rest = shape[1:]
   best = 8
   for b in (8, 16, 32, 64, 128, 256, 512, 1024):
-    s = _pad_to(b + lo + hi, _ALIGN)
-    total = 0
-    for name in plan.stencil.input_names:
-      esize = plan.stencil.symbol_table[name].width_in_bytes
-      total += 2 * _padded_cells((s,) + rest) * esize
-    # per-stage VMEM scratch at storage width...
-    for stage in plan.stages:
-      total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
-    # ...plus transient fold temporaries at compute width for the
-    # widest single stage (accumulator + operand + shifted load)
-    if plan.stages:
-      total += 3 * _padded_cells((s,) + rest) * max(
-          max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
-    # ...plus Pallas's double-buffered output blocks
-    for out_name in plan.stencil.output_names:
-      esize = plan.stencil.symbol_table[out_name].width_in_bytes
-      total += 2 * _padded_cells((b,) + rest) * esize
-    if total <= budget:
+    if estimate_vmem(plan, shape, b) <= budget:
       best = b
     else:
       break
@@ -499,11 +507,7 @@ class MidTiledPallasExecutor:
       mid_tile = m
       while mid_tile > 8:
         ext = min(m, mid_tile + mlo + mhi)
-        probe = (h, ext, w_)
-        blk = choose_block_rows(self.plan, probe)
-        lo8 = _pad_to(self.plan.halo_lo[dim - 1], _ALIGN)
-        s = _pad_to(blk + lo8 + self.plan.halo_hi[dim - 1], _ALIGN)
-        if self.plan.vmem_bytes((s, ext, w_)) <= _VMEM_BUDGET:
+        if estimate_vmem(self.plan, (h, ext, w_), 8) <= _VMEM_BUDGET:
           break
         mid_tile //= 2
     mid_tile = max(8, _pad_to(min(mid_tile, m), _ALIGN))
