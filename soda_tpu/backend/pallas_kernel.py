@@ -81,10 +81,16 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   # per-stage VMEM scratch at storage width...
   for stage in plan.stages:
     total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
-  # ...plus transient fold temporaries at compute width for the
-  # widest single stage (accumulator + operand + shifted load)
+  # ...plus transient fold temporaries at compute width. Mosaic's
+  # scheduler keeps roughly every shifted tap load of a statement live
+  # at once (measured: 19-tap folds allocate ~19 slab temporaries), so
+  # the factor scales with the widest stage's load count.
   if plan.stages:
-    total += 3 * _padded_cells((s,) + rest) * max(
+    max_loads = max(
+        sum(len(refs) for refs in stage.tensor.ld_refs.values())
+        for stage in plan.stages)
+    factor = max(3, max_loads + 2)
+    total += factor * _padded_cells((s,) + rest) * max(
         max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
   # ...plus Pallas's double-buffered output blocks
   for out_name in plan.stencil.output_names:
