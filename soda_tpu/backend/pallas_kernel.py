@@ -44,7 +44,7 @@ from soda_tpu.ir import nodes as ir
 
 # VMEM budget for choosing block_rows (bytes); leaves headroom out of
 # the ~16 MB scoped limit for Mosaic's own temporaries.
-_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 # Sublane tile: streaming-dim DMA offsets must be multiples of this.
 _ALIGN = 8
@@ -81,15 +81,19 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   # per-stage VMEM scratch at storage width...
   for stage in plan.stages:
     total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
-  # ...plus transient fold temporaries at compute width. Mosaic's
-  # scheduler keeps roughly every shifted tap load of a statement live
-  # at once (measured: 19-tap folds allocate ~19 slab temporaries), so
-  # the factor scales with the widest stage's load count.
+  # ...plus transient fold temporaries at compute width. In slice mode
+  # (wide lanes) Mosaic keeps roughly every shifted tap load of a
+  # statement live at once — measured: 19-tap folds allocate ~16-19
+  # slab temporaries, with a scheduler window cap near 20. Rotate mode
+  # (narrow lanes) consumes loads in place.
   if plan.stages:
-    max_loads = max(
-        sum(len(refs) for refs in stage.tensor.ld_refs.values())
-        for stage in plan.stages)
-    factor = max(3, max_loads + 2)
+    if rest and rest[-1] <= 256:  # rotate-mode lane extents
+      factor = 3
+    else:
+      max_loads = max(
+          sum(len(refs) for refs in stage.tensor.ld_refs.values())
+          for stage in plan.stages)
+      factor = max(3, min(max_loads, 20) + 2)
     total += factor * _padded_cells((s,) + rest) * max(
         max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
   # ...plus Pallas's double-buffered output blocks
