@@ -46,3 +46,19 @@ def test_single_block_tiny_grid():
 
 def test_blocked_3d():
   check_kernel('heat3d', shape=(40, 32, 32), block_rows=8)
+
+
+def test_deep_iterate_pipeline():
+  # four fused sweeps: halo 4 each way, one HBM pass
+  stencil = corpus.build('jacobi2d', iterate=4)
+  assert len(stencil.chronological_tensors) == 5
+  check_kernel('jacobi2d', shape=(40, 32))
+  shape = (40, 32)
+  st = corpus.build('jacobi2d', iterate=4)
+  inputs = reference.make_test_inputs(st, shape)
+  want = reference.run(st, inputs)
+  got = PallasExecutor(st, shape)(inputs)
+  region = reference.output_valid_slices(st, shape)
+  assert region[0].start == 4  # accumulated halo
+  assert_close_reference(np.asarray(got['t0'])[region],
+                         want['t0'][region], True, 'iterate4')
