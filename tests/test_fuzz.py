@@ -46,6 +46,9 @@ def gen_program(rng: np.random.Generator, dim: int) -> str:
       'input dram 0 %s: src(%s, *)' % (
           in_type, ', '.join(['32'] * (dim - 1))),
   ]
+  if rng.integers(0, 3) == 0:  # second input, same grid
+    lines.append('input dram 1 %s: aux' % in_type)
+    names.append('aux')
   n_stages = int(rng.integers(1, 4))
   for k in range(n_stages + 1):  # locals + one output
     is_out = k == n_stages
@@ -74,11 +77,19 @@ def gen_program(rng: np.random.Generator, dim: int) -> str:
   return '\n'.join(lines)
 
 
-@pytest.mark.parametrize('seed', range(24))
+@pytest.mark.parametrize('seed', range(40))
 def test_fuzz_backends_match_oracle(seed):
   rng = np.random.default_rng(seed)
   dim = 2 if seed % 3 else 3
   program = gen_program(rng, dim)
+  if seed % 5 == 0:
+    # exercise iterate>1 (requires one output matching the input type;
+    # the generator's single output is named 'out')
+    in_type = program.split('input dram 0 ')[1].split(':')[0]
+    head, _, tail = program.rpartition('output dram 1 ')
+    out_type = tail.split(':')[0].rstrip()
+    if out_type == in_type and 'aux' not in program:
+      program = program.replace('iterate: 1', 'iterate: 2')
   try:
     stencil = build_stencil(program)
   except Exception as e:  # semantic rejects are fine (e.g. dup names)
