@@ -64,6 +64,50 @@ def _padded_cells(shape: Tuple[int, ...]) -> int:
   return int(np.prod(padded))
 
 
+def scratch_slots(plan: FusionPlan):
+  """Liveness-based scratch-slot assignment for stage buffers.
+
+  The register-allocation analog of the reference's FIFO sizing: a
+  stage's slab is live from its production to its last consumer, and
+  dead slabs are reused by later same-dtype stages. Long CR chains
+  (e.g. contrast's 80+ reuse variables) then need a handful of slabs
+  instead of one each. Returns (slot_of: name -> slot id,
+  slot_dtypes: list of np dtypes).
+  """
+  stage_names = {s.name for s in plan.stages}
+  outputs = set(plan.stencil.output_names)
+  last_use: Dict[str, int] = {}
+  for idx, stage in enumerate(plan.stages):
+    for parent in stage.tensor.ld_refs:
+      if parent in stage_names:
+        last_use[parent] = idx
+  slot_of: Dict[str, int] = {}
+  slot_dtypes = []
+  free: Dict[object, list] = {}
+  for idx, stage in enumerate(plan.stages):
+    dt = stage.dtype.np_dtype
+    pool = free.setdefault(dt, [])
+    if pool:
+      slot = pool.pop()
+    else:
+      slot = len(slot_dtypes)
+      slot_dtypes.append(dt)
+    slot_of[stage.name] = slot
+    # parents whose last consumer is this stage free up for the NEXT
+    # stage (never for this one: their reads must complete first);
+    # outputs stay live to the final store
+    for parent in set(stage.tensor.ld_refs):
+      if (parent in slot_of and parent not in outputs and
+          last_use.get(parent) == idx):
+        p_dt = None
+        for st in plan.stages:
+          if st.name == parent:
+            p_dt = st.dtype.np_dtype
+            break
+        free.setdefault(p_dt, []).append(slot_of[parent])
+  return slot_of, slot_dtypes
+
+
 def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
                   block_rows: int) -> int:
   """Working-set estimate of the fused kernel at a given block size:
@@ -78,9 +122,10 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   for name in plan.stencil.input_names:
     esize = plan.stencil.symbol_table[name].width_in_bytes
     total += 2 * _padded_cells((s,) + rest) * esize
-  # per-stage VMEM scratch at storage width...
-  for stage in plan.stages:
-    total += _padded_cells((s,) + rest) * stage.dtype.width_in_bytes
+  # per-SLOT VMEM scratch at storage width (liveness-reused slabs)...
+  _, slot_dtypes = scratch_slots(plan)
+  for dt in slot_dtypes:
+    total += _padded_cells((s,) + rest) * np.dtype(dt).itemsize
   # ...plus transient fold temporaries at compute width. In slice mode
   # (wide lanes) Mosaic keeps roughly every shifted tap load of a
   # statement live at once — measured: 19-tap folds allocate ~16-19
@@ -263,6 +308,7 @@ class PallasExecutor:
           for a, m in enumerate(slab_margins[name]))
 
     stage_names = [stage.name for stage in plan.stages]
+    slot_of, slot_dtypes = scratch_slots(plan)
     lanes = rest[-1]
 
     def lane_roll(value, delta):
@@ -286,7 +332,10 @@ class PallasExecutor:
       scratch = refs[n_in + n_par + n_out:]
       slabs = scratch[:n_in]
       in_sems = scratch[n_in:2 * n_in]
-      stage_refs = dict(zip(stage_names, scratch[2 * n_in:]))
+      slot_refs = scratch[2 * n_in:]
+      stage_refs = {
+          name: slot_refs[slot_of[name]] for name in stage_names
+      }
 
       i = pl.program_id(0)
       n = pl.num_programs(0)
@@ -419,8 +468,7 @@ class PallasExecutor:
         pltpu.SemaphoreType.DMA((n_buf,)) for _ in stencil.input_names
     ]
     scratch_shapes += [
-        pltpu.VMEM((s,) + rest, stage.dtype.np_dtype)
-        for stage in plan.stages
+        pltpu.VMEM((s,) + rest, dt) for dt in slot_dtypes
     ]
 
     call = pl.pallas_call(
