@@ -32,7 +32,6 @@ outputs only defined on the valid region.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Mapping, Optional, Tuple
 
 import numpy as np

@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 from soda_tpu import utils
 from soda_tpu.ir import nodes as ir
-from soda_tpu.ir.types import Type, common_type
+from soda_tpu.ir.types import Type
 
 # C "usual arithmetic conversions": integer types narrower than int are
 # promoted to int before any arithmetic. (C11 §6.3.1.1; the generated

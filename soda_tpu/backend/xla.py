@@ -22,7 +22,7 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.backend import semantics
-from soda_tpu.backend.plan import FusionPlan, make_plan, stage_margins
+from soda_tpu.backend.plan import FusionPlan, make_plan
 from soda_tpu.ir import nodes as ir
 
 

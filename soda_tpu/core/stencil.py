@@ -22,7 +22,7 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.core.tensor import Tensor
-from soda_tpu.ir import arithmetic, mutator, nodes as ir
+from soda_tpu.ir import arithmetic, nodes as ir
 from soda_tpu.ir import visitor as ir_visitor
 from soda_tpu.ir.types import Type
 

@@ -13,7 +13,7 @@ import logging
 from typing import Dict, Optional
 
 from soda_tpu.ir import nodes as ir
-from soda_tpu.ir.types import Type, common_type, common_type_of
+from soda_tpu.ir.types import Type, common_type_of
 
 _logger = logging.getLogger().getChild(__name__)
 

@@ -11,7 +11,7 @@ import collections
 import logging
 import operator
 import types
-from typing import Iterable, Mapping, MutableMapping, Optional, Tuple, Union
+from typing import Mapping, MutableMapping, Optional, Tuple
 
 from soda_tpu.ir import nodes as ir
 from soda_tpu.ir import visitor

@@ -23,9 +23,9 @@ Node taxonomy:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
-from soda_tpu.ir.types import Type, common_type_of
+from soda_tpu.ir.types import Type
 
 # Functions accepted by the frontend as intrinsic calls. The reference
 # delegates this to haoda's FuncName rule; the corpus uses sqrt/min

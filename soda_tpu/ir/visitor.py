@@ -8,7 +8,7 @@ get_normalize_index) plus haoda's ``get_vars``/``get_instances_of``
 from __future__ import annotations
 
 import collections
-from typing import Dict, Iterable, List, Mapping, Optional, Tuple, Union
+from typing import Dict, Iterable, List, Mapping, Optional, Tuple
 
 from soda_tpu.ir import nodes as ir
 
