@@ -93,6 +93,9 @@ class ShardedExecutor:
     param_names = stencil.param_names
     output_names = stencil.output_names
 
+    if inner == 'auto':
+      from soda_tpu.backend import pallas_fits
+      inner = 'pallas' if pallas_fits(stencil, ext_shape) else 'xla'
     if inner == 'pallas':
       from soda_tpu.backend.pallas_kernel import PallasExecutor
       inner_exec = PallasExecutor(stencil, ext_shape, interpret=interpret)

@@ -74,3 +74,7 @@ def test_2d_mesh_matches_oracle(name, shape):
 
 def test_2d_mesh_3d_grid():
   check_sharded('heat3d', (32, 64, 32), mesh=_mesh_2d(2, 4))
+
+
+def test_sharded_inner_auto():
+  check_sharded('jacobi2d', (64, 32), inner='auto')
