@@ -56,7 +56,10 @@ def check(name, variants=()):
   worst = 0.0
   bad_total = 0
   for out_name in stencil.output_names:
-    region = reference.output_valid_slices(stencil, shape, out_name)
+    if stencil.preserve_border:
+      region = tuple(slice(None) for _ in shape)  # every cell defined
+    else:
+      region = reference.output_valid_slices(stencil, shape, out_name)
     g = np.asarray(got[out_name])[region]
     w_ = want[out_name][region]
     if stencil.symbol_table[out_name].is_float:
@@ -72,26 +75,44 @@ def check(name, variants=()):
   return bad_total, worst
 
 
+# optimization-variant sweep (--variants): the analog of the
+# reference's tests/test-cluster.sh re-running the corpus per knob
+VARIANTS = (
+    ('erosion+cr', 'erosion',
+     {'optimizations': {'computation-reuse': 'greedy'}}),
+    ('seidel2d+cr', 'seidel2d',
+     {'optimizations': {'computation-reuse': 'greedy'}}),
+    ('heat3d+distribute', 'heat3d', {'optimizations': {'distribute': True}}),
+    ('contrast+extcr', 'contrast',
+     {'optimizations': {'computation-reuse': 'yes'}}),
+    ('jacobi2d+iterate4', 'jacobi2d', {'iterate': 4}),
+    ('blur+preserve', 'blur', {'border': 'preserve'}),
+)
+
+
 def main() -> int:
   import jax
   from soda_tpu import corpus
+  do_variants = '--variants' in sys.argv
   print('device: %s backend=%s' % (jax.devices()[0],
                                    jax.default_backend()))
   failures = 0
   rows = []
-  for name in sorted(corpus.CORPUS):
-    variants = {}
+  cases = [(name, name, {}) for name in sorted(corpus.CORPUS)]
+  if do_variants:
+    cases += [(tag, kernel, dict(ov)) for tag, kernel, ov in VARIANTS]
+  for tag, kernel, variants in cases:
     try:
-      bad, worst = check(name, variants)
+      bad, worst = check(kernel, variants)
       status = 'PASS' if bad == 0 else 'FAIL(%d bad, worst %.3g)' % (
           bad, worst)
       failures += bad != 0
     except Exception as e:  # noqa: BLE001 - report, keep sweeping
       status = 'ERROR: %s' % str(e)[:90].replace('\n', ' ')
       failures += 1
-    rows.append((name, status))
-    print('%-12s %s' % (name, status), flush=True)
-  print('%d/%d kernels pass' % (len(rows) - failures, len(rows)))
+    rows.append((tag, status))
+    print('%-20s %s' % (tag, status), flush=True)
+  print('%d/%d cases pass' % (len(rows) - failures, len(rows)))
   return 1 if failures else 0
 
 
