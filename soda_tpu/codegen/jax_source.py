@@ -225,7 +225,8 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
   w = file.write
 
   from soda_tpu.core.stencil import get_stencil_dim
-  w('"""Generated by soda-tpu; standalone JAX stencil program.\n\n')
+  w('"""Generated by soda-tpu; standalone %s stencil program.\n\n'
+    % ('JAX' if target == 'jax' else 'NumPy'))
   w('This program was generated from the following SODA DSL\n')
   w('(stencil window %s, stencil distance %d):\n\n' %
     (tuple(get_stencil_dim(stencil.stencil_window)),
