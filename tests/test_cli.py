@@ -5,17 +5,21 @@ import json
 import subprocess
 import sys
 
+import pathlib
+
 import pytest
 
 from soda_tpu import corpus
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 
 def run_cli(args, stdin_text=None):
   return subprocess.run(
       [sys.executable, '-m', 'soda_tpu'] + args,
-      input=stdin_text, capture_output=True, text=True, cwd='/root/repo',
+      input=stdin_text, capture_output=True, text=True, cwd=REPO,
       env={'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
-           'PYTHONPATH': '/root/repo', 'HOME': '/root'})
+           'PYTHONPATH': REPO, 'HOME': '/root'})
 
 
 def test_emit_jax_stdout():

@@ -4,9 +4,13 @@ import json
 import subprocess
 import sys
 
+import pathlib
+
 import numpy as np
 
 from soda_tpu import corpus
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 from soda_tpu.backend import reference
 from soda_tpu.backend.pallas_kernel import PallasExecutor
 from soda_tpu.model.compiled import compiled_stats
@@ -19,9 +23,9 @@ def test_calc_cost_cli():
   r = subprocess.run(
       [sys.executable, '-m', 'soda_tpu.tools.calc_cost'],
       input=json.dumps({'schedule': schedule, 'aattrs': None}),
-      capture_output=True, text=True, cwd='/root/repo',
+      capture_output=True, text=True, cwd=REPO,
       env={'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
-           'PYTHONPATH': '/root/repo', 'HOME': '/root'})
+           'PYTHONPATH': REPO, 'HOME': '/root'})
   assert r.returncode == 0, r.stderr
   out = json.loads(r.stdout)
   # (x0 + x1) reused at offsets 0 and 10 -> 2 unique ops
