@@ -78,71 +78,43 @@ def over_budget() -> bool:
   return time.monotonic() > _DEADLINE
 
 
-def bench_kernel(name, shape, overrides, peak_gbps):
-  """Time the fused kernel via the chained-loop slope method.
+def chain_input_index(stencil):
+  """Index of the input that can carry the timing chain (same dtype as
+  the first output; shapes always agree)."""
+  out0 = stencil.output_names[0]
+  for idx, in_name in enumerate(stencil.input_names):
+    if (stencil.symbol_table[in_name].np_dtype ==
+        stencil.symbol_table[out0].np_dtype):
+      return idx
+  raise RuntimeError('no chainable input for %s' % stencil.name)
+
+
+def slope_time(fn, args, chain_idx, est_iter_s, reps=3):
+  """Per-iteration time of ``fn(*args)`` via the chained-loop slope.
 
   Remote-tunnel TPU attachments make per-call host timing unreliable
   (dispatch acks can arrive before device completion), so we time
-  ``lax.fori_loop`` chains of N_SMALL and N_BIG data-dependent kernel
+  ``lax.fori_loop`` chains of N_SMALL and N_BIG data-dependent
   applications — each iteration feeds the previous output back in, so
   nothing can be elided or overlapped — force completion with a
   data-dependent scalar fetch, and take the slope. Constant dispatch /
-  fetch overhead cancels.
+  fetch overhead cancels. Returns (dt_seconds, compile_seconds).
   """
   import jax
   import jax.numpy as jnp
   from jax import lax
-  from soda_tpu import corpus
-  from soda_tpu.backend import reference
-  from soda_tpu.backend.pallas_kernel import PallasExecutor
-
-  stencil = corpus.build(name, **overrides)
-  ex = PallasExecutor(stencil, shape)
-  inputs = reference.make_test_inputs(stencil, shape)
-  args = list(ex.prepare(inputs))
-
-  # compile-probe a 2x block: the VMEM estimator is deliberately
-  # conservative (remote compile servers vary); when the double block
-  # actually compiles it is typically ~10% faster
-  try:
-    if over_budget():
-      raise TimeoutError('bench budget: skipping probe')
-    big = PallasExecutor(stencil, shape, block_rows=ex.block_rows * 2)
-    if big.block_rows > ex.block_rows:
-      jax.block_until_ready(big.fn(*args))
-      ex = big
-      log('%s: probe accepted block=%d' % (name, ex.block_rows))
-  except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep the safe pick
-    pass
-
-  # chain on the input that matches the first output's dtype+shape
-  out0 = stencil.output_names[0]
-  chain_idx = None
-  for idx, in_name in enumerate(stencil.input_names):
-    if (stencil.symbol_table[in_name].np_dtype ==
-        stencil.symbol_table[out0].np_dtype):
-      chain_idx = idx
-      break
-  if chain_idx is None:
-    raise RuntimeError('no chainable input for %s' % name)
 
   def body(i, a):
     call_args = list(args)
     call_args[chain_idx] = a
-    return ex.fn(*call_args)[0]
+    return fn(*call_args)[0]
 
   def make(n):
     return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))
 
   # adaptive loop length: the iteration-count delta must represent
   # >= ~40 ms of device time so dispatch/fetch jitter cancels cleanly
-  cells = float(np.prod(shape))
-  est_bytes = sum(
-      cells * stencil.symbol_table[n].width_in_bytes
-      for n in list(stencil.input_names) + list(stencil.output_names))
-  est_iter = est_bytes / (peak_gbps * 1e9)
-  n_big = N_SMALL + max(20, int(0.04 / est_iter))
-
+  n_big = N_SMALL + max(20, int(0.04 / est_iter_s))
   f_small, f_big = make(N_SMALL), make(n_big)
   x0 = args[chain_idx]
 
@@ -156,24 +128,71 @@ def bench_kernel(name, shape, overrides, peak_gbps):
   timed(f_small)
   timed(f_big)  # warm-up / compile
   compile_s = time.perf_counter() - t0
-  t_small = min(timed(f_small) for _ in range(3))
-  t_big = min(timed(f_big) for _ in range(3))
+  t_small = min(timed(f_small) for _ in range(reps))
+  t_big = min(timed(f_big) for _ in range(reps))
   dt = max((t_big - t_small) / (n_big - N_SMALL), 1e-9)
-  in_bytes = sum(
-      cells * stencil.symbol_table[n].width_in_bytes
-      for n in stencil.input_names)
-  out_bytes = sum(
-      cells * stencil.symbol_table[n].width_in_bytes
-      for n in stencil.output_names)
+  return dt, compile_s
+
+
+def stream_bytes(stencil, shape):
+  """Unique HBM traffic of one pass: inputs read once + outputs
+  written once."""
+  cells = float(np.prod(shape))
+  in_b = sum(cells * stencil.symbol_table[n].width_in_bytes
+             for n in stencil.input_names)
+  out_b = sum(cells * stencil.symbol_table[n].width_in_bytes
+              for n in stencil.output_names)
+  return in_b, out_b
+
+
+def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
+                 compare_xla=True):
+  """Roofline-fraction measurement of one corpus kernel."""
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+  from soda_tpu import corpus
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+
+  stencil = corpus.build(name, **overrides)
+  ex_opts = dict(ex_opts or {})
+  ex = PallasExecutor(stencil, shape, **ex_opts)
+  inputs = reference.make_test_inputs(stencil, shape)
+  args = list(ex.prepare(inputs))
+
+  # compile-probe a 2x block: the VMEM estimator is deliberately
+  # conservative (remote compile servers vary); when the double block
+  # actually compiles it is typically ~10% faster
+  try:
+    if over_budget():
+      raise TimeoutError('bench budget: skipping probe')
+    big = PallasExecutor(stencil, shape, block_rows=ex.block_rows * 2,
+                         **ex_opts)
+    if big.block_rows > ex.block_rows:
+      jax.block_until_ready(big.fn(*args))
+      ex = big
+      log('%s: probe accepted block=%d' % (name, ex.block_rows))
+  except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep the safe pick
+    pass
+
+  chain_idx = chain_input_index(stencil)
+  cells = float(np.prod(shape))
+  in_bytes, out_bytes = stream_bytes(stencil, shape)
+  est_iter = (in_bytes + out_bytes) / (peak_gbps * 1e9)
+  dt, compile_s = slope_time(ex.fn, args, chain_idx, est_iter)
   gbps = (in_bytes + out_bytes) / dt / 1e9
   frac = gbps / peak_gbps
   cells_per_s = cells * stencil.iterate / dt
+  out0 = stencil.output_names[0]
+  x0 = args[chain_idx]
+  n_big = N_SMALL + max(20, int(0.04 / est_iter))
 
   # comparison point: the XLA whole-grid path (the reference-style
   # implementation — each stage a full-array op, no manual blocking)
   xla_dt = None
   try:
-    if over_budget():
+    if not compare_xla or over_budget():
       raise TimeoutError('bench budget: skipping XLA comparison')
     from soda_tpu.backend import xla as xla_backend
     base_ins = {
@@ -216,6 +235,11 @@ def bench_kernel(name, shape, overrides, peak_gbps):
 
 def main():
   import jax
+  try:
+    from soda_tpu import cache as _cache
+    _cache.enable()  # second runs skip unchanged kernels' compiles
+  except Exception as e:  # noqa: BLE001 - cache is best-effort
+    log('compilation cache disabled: %r' % (e,))
   dev = jax.devices()[0]
   on_tpu = jax.default_backend() == 'tpu'
   peak = peak_bandwidth(dev)

@@ -9,7 +9,10 @@
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
+
+_logger = logging.getLogger().getChild(__name__)
 
 
 def pallas_fits(stencil, shape: Tuple[int, ...],
@@ -35,10 +38,16 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
     elif len(shape) == 3:
       # oversized cross-section: mid-dimension tiling over the fused
       # kernel (halo-overlapped, reference host-tiling analog)
+      from soda_tpu import utils
       from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
       try:
         return MidTiledPallasExecutor(stencil, shape, **kwargs)
-      except Exception:  # noqa: BLE001 - fall through to XLA
+      except utils.InputError as e:
+        # expected: halo exceeds tile / cross-section still too large;
+        # anything else (plan/estimator bugs) propagates loudly
+        _logger.warning(
+            'mid-tiled Pallas not applicable (%s); falling back to the '
+            'XLA whole-grid backend', e)
         backend = 'xla'
     else:
       backend = 'xla'

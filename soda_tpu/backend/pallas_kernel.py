@@ -108,7 +108,7 @@ def scratch_slots(plan: FusionPlan):
 
 
 def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
-                  block_rows: int) -> int:
+                  block_rows: int, stage_mode: str = 'vmem') -> int:
   """Working-set estimate of the fused kernel at a given block size:
   double-buffered input slabs + per-stage scratch + fold temporaries +
   Pallas's double-buffered output blocks."""
@@ -129,9 +129,13 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   # (wide lanes) Mosaic keeps roughly every shifted tap load of a
   # statement live at once — measured: 19-tap folds allocate ~16-19
   # slab temporaries, with a scheduler window cap near 20. Rotate mode
-  # (narrow lanes) consumes loads in place.
+  # (narrow lanes) consumes loads in place. Value mode holds live stage
+  # values in Mosaic's scratch instead of named slabs — same accounting
+  # (the slot count IS the peak liveness), plus a couple of extras.
   if plan.stages:
-    if rest and rest[-1] <= 256:  # rotate-mode lane extents
+    if stage_mode == 'value':
+      factor = 4
+    elif rest and rest[-1] <= 256:  # rotate-mode lane extents
       factor = 3
     else:
       max_loads = max(
@@ -148,13 +152,14 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
 
 
 def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
-                      budget: int = _VMEM_BUDGET) -> int:
+                      budget: int = _VMEM_BUDGET,
+                      stage_mode: str = 'vmem') -> int:
   """Largest power-of-two block_rows whose slab working set fits the
   VMEM budget — the analog of the reference's FIFO-depth solve
   (dataflow.py:94-176) for the fused-kernel world."""
   best = 8
   for b in (8, 16, 32, 64, 128, 256, 512, 1024):
-    if estimate_vmem(plan, shape, b) <= budget:
+    if estimate_vmem(plan, shape, b, stage_mode) <= budget:
       best = b
     else:
       break
@@ -175,7 +180,8 @@ class PallasExecutor:
   def __init__(self, stencil, shape: Tuple[int, ...],
                block_rows: Optional[int] = None,
                interpret: Optional[bool] = None,
-               lane_shift: str = 'auto'):
+               lane_shift: str = 'auto',
+               stage_mode: str = 'auto'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -185,6 +191,15 @@ class PallasExecutor:
       # lane-crossing shifted load wins
       lane_shift = 'rotate' if shape[-1] <= 256 else 'slice'
     self.lane_shift = lane_shift
+    if stage_mode == 'auto':
+      # value mode keeps stage results flowing through registers /
+      # Mosaic-managed temporaries (no VMEM slab round-trip per stage);
+      # for very deep stage graphs (large CR chains) the named-slab
+      # path with liveness-reused slots bounds VMEM deterministically
+      stage_mode = 'value'
+    if stage_mode not in ('value', 'vmem'):
+      raise ValueError('stage_mode must be value|vmem|auto')
+    self.stage_mode = stage_mode
     self.plan = make_plan(stencil, 'full')
     if len(self.shape) != self.plan.dim:
       raise utils.InputError('expected %d-D arrays, got %d-D' %
@@ -211,7 +226,8 @@ class PallasExecutor:
     if len(rest) >= 2:
       rest[-2] = _pad_to(rest[-2], _ALIGN)
     self.rest_pad = tuple(rest)
-    b = block_rows or choose_block_rows(self.plan, self.shape)
+    b = block_rows or choose_block_rows(self.plan, self.shape,
+                                        stage_mode=self.stage_mode)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
     b = _pad_to(max(b, self.lo, self.hi + 1), _ALIGN)
@@ -228,6 +244,27 @@ class PallasExecutor:
       self.slab = slab
       self.grid = self.h_pad // b
     self.block_rows = b
+    if block_rows is None:
+      # legality gate (the II=1-feasibility analog, reference
+      # dataflow.py:43-92): if even the chosen block's working set
+      # exceeds the VMEM budget, fail loudly instead of letting Mosaic
+      # OOM with an inscrutable error. Callers that pass an explicit
+      # block_rows override the estimate (it is deliberately
+      # conservative; the bench's compile-probe relies on this).
+      est = estimate_vmem(self.plan, self.shape, self.block_rows,
+                          self.stage_mode)
+      if est > _VMEM_BUDGET and self.block_rows > 8:
+        raise utils.InputError(
+            'estimated VMEM working set %.1f MB exceeds the %.1f MB '
+            'budget; shrink the cross-section (mid tiling / sharding) '
+            'or pass block_rows explicitly' %
+            (est / 2**20, _VMEM_BUDGET / 2**20))
+      if estimate_vmem(self.plan, self.shape, 8, self.stage_mode) > \
+          _VMEM_BUDGET:
+        raise utils.InputError(
+            'cross-section too large for the fused Pallas kernel even '
+            'at the minimum block size; use the mid-tiled or XLA '
+            'backend (get_executor("auto") dispatches this)')
     self._fn = jax.jit(self._build())
 
   # -- kernel construction ----------------------------------------------------
@@ -307,7 +344,11 @@ class PallasExecutor:
           for a, m in enumerate(slab_margins[name]))
 
     stage_names = [stage.name for stage in plan.stages]
-    slot_of, slot_dtypes = scratch_slots(plan)
+    value_mode = self.stage_mode == 'value'
+    if value_mode:
+      slot_of, slot_dtypes = {}, []
+    else:
+      slot_of, slot_dtypes = scratch_slots(plan)
     lanes = rest[-1]
 
     def lane_roll(value, delta):
@@ -333,7 +374,8 @@ class PallasExecutor:
       in_sems = scratch[n_in:2 * n_in]
       slot_refs = scratch[2 * n_in:]
       stage_refs = {
-          name: slot_refs[slot_of[name]] for name in stage_names
+          name: slot_refs[slot_of[name]]
+          for name in stage_names if name in slot_of
       }
 
       i = pl.program_id(0)
@@ -386,28 +428,63 @@ class PallasExecutor:
           name: par_refs[k] for k, name in enumerate(stencil.param_names)
       }
 
+      # value mode: stage results are jnp values shaped to their valid
+      # region; consumers take static slices of parent values (Mosaic
+      # lowers these to register shifts) instead of re-reading a VMEM
+      # slab. Input slabs are read once and shared across all taps.
+      stage_vals: Dict[str, object] = {}
+      input_vals: Dict[str, object] = {}
+
+      def parent_val(name):
+        if name in stage_vals:
+          return stage_vals[name], slab_margins[name]
+        if name not in input_vals:
+          k = stencil.input_names.index(name)
+          input_vals[name] = slabs[k][slot if not single else 0]
+        return input_vals[name], slab_margins[name]
+
       for stage in plan.stages:
         st_idx = stage.tensor.st_idx
         region = _region(stage.name)
 
-        def load(ref: ir.Ref, _st=st_idx, _region=region):
-          if ref.name in stencil.param_names:
-            return params[ref.name][tuple(ref.idx)]
-          src, lead = parent_ref(ref.name)
-          idx = list(lead)
-          for a in range(n_margin_axes):
-            d = dim - 1 - a
-            delta = ref.idx[d] - _st[d]
-            idx.append(slice(_region[a].start + delta,
-                             _region[a].stop + delta))
-          if rotate_lanes:
-            idx.append(slice(None))
-          value = src[tuple(idx)]
-          if rotate_lanes:
-            lane_delta = ref.idx[0] - _st[0]
-            if lane_delta:
-              value = lane_roll(value, lane_delta)
-          return value
+        if value_mode:
+          def load(ref: ir.Ref, _st=st_idx, _region=region):
+            if ref.name in stencil.param_names:
+              return params[ref.name][tuple(ref.idx)]
+            src, p_m = parent_val(ref.name)
+            idx = []
+            for a in range(n_margin_axes):
+              d = dim - 1 - a
+              delta = ref.idx[d] - _st[d]
+              idx.append(slice(_region[a].start + delta - p_m[a][0],
+                               _region[a].stop + delta - p_m[a][0]))
+            if rotate_lanes:
+              idx.append(slice(None))
+            value = src[tuple(idx)]
+            if rotate_lanes:
+              lane_delta = ref.idx[0] - _st[0]
+              if lane_delta:
+                value = lane_roll(value, lane_delta)
+            return value
+        else:
+          def load(ref: ir.Ref, _st=st_idx, _region=region):
+            if ref.name in stencil.param_names:
+              return params[ref.name][tuple(ref.idx)]
+            src, lead = parent_ref(ref.name)
+            idx = list(lead)
+            for a in range(n_margin_axes):
+              d = dim - 1 - a
+              delta = ref.idx[d] - _st[d]
+              idx.append(slice(_region[a].start + delta,
+                               _region[a].stop + delta))
+            if rotate_lanes:
+              idx.append(slice(None))
+            value = src[tuple(idx)]
+            if rotate_lanes:
+              lane_delta = ref.idx[0] - _st[0]
+              if lane_delta:
+                value = lane_roll(value, lane_delta)
+            return value
 
         def param(name, idx):
           return params[name][idx]
@@ -415,10 +492,49 @@ class PallasExecutor:
         evaluator = semantics.Evaluator(jnp, load, param=param,
                                         fast_int_div=True)
         value, _ = evaluator.eval_stmt(stage.tensor)
-        stage_refs[stage.name][region] = semantics.wrap(
-            jnp, value, stage.dtype)
+        wrapped = semantics.wrap(jnp, value, stage.dtype)
+        if value_mode:
+          stage_vals[stage.name] = wrapped
+        else:
+          stage_refs[stage.name][region] = wrapped
+
+      def store_value(k, name, base, blk):
+        """Store the valid rows of an output stage value into the
+        output block whose slab row base is ``base`` (static)."""
+        val = stage_vals[name]
+        m = slab_margins[name]
+        jlo = max(0, m[0][0] - base)
+        jhi = min(blk, s - m[0][1] - base)  # single mode: s == h
+        if jlo >= jhi:
+          return  # whole block is globally-invalid border
+        out_idx = [slice(jlo, jhi)]
+        val_idx = [slice(base - m[0][0] + jlo, base - m[0][0] + jhi)]
+        for a in range(1, dim):
+          out_idx.append(slice(m[a][0], size[a] - m[a][1]))
+          val_idx.append(slice(None))
+        out_refs[k][tuple(out_idx)] = val[tuple(val_idx)]
 
       for k, name in enumerate(stencil.output_names):
+        if value_mode:
+          if single:
+            store_value(k, name, 0, h)
+            continue
+          if base_first == base_mid == base_tail:
+            store_value(k, name, base_mid, b)
+            continue
+
+          @pl.when(i == 0)
+          def _(k=k, name=name):
+            store_value(k, name, base_first, b)
+
+          @pl.when(jnp.logical_and(i > 0, i < n - 1))
+          def _(k=k, name=name):
+            store_value(k, name, base_mid, b)
+
+          @pl.when(jnp.logical_and(i == n - 1, n > 1))
+          def _(k=k, name=name):
+            store_value(k, name, base_tail, b)
+          continue
         src = stage_refs[name]
         if single:
           out_refs[k][:] = src[:]

@@ -220,7 +220,6 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
   plan = make_plan(stencil, 'full')
   dim = plan.dim
   if shape is None:
-    shape = tuple(reversed(stencil.tile_size[:-1])) + (0,)
     shape = (512,) + tuple(reversed(stencil.tile_size[:-1]))
   w = file.write
 

@@ -366,9 +366,11 @@ class CommSchedules(ScheduleBase):
       self._memo[key] = [sched]
       return [sched]
     indices = list(range(n))
+    truncated = False
     # left subset always contains operand 0 (fixes tree orientation)
     for bits in range(0, 1 << (n - 1)):
       if self._deadline and time.monotonic() > self._deadline:
+        truncated = True
         break
       left_idx = [0] + [i + 1 for i in range(n - 1) if bits & (1 << i)]
       if len(left_idx) == n:
@@ -392,7 +394,11 @@ class CommSchedules(ScheduleBase):
           if prev is None:
             results[sig] = sched
     out = list(results.values())
-    self._memo[key] = out
+    if not truncated:
+      # a deadline-truncated enumeration must not poison the shared
+      # cache: later (possibly deadline-free) queries would silently
+      # reuse the incomplete candidate list
+      self._memo[key] = out
     return out
 
   @cached_property

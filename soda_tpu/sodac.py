@@ -202,6 +202,14 @@ def main(argv: Optional[list] = None) -> int:
 
   if args.run:
     did_something = True
+    # persistent XLA compilation cache: repeat runs of the same
+    # stencil/shape skip the 20-40 s first compile (the analog of the
+    # reference's stencil-text-keyed floorplan cache, cluster.py:104-160)
+    from soda_tpu import cache as _cache
+    try:
+      _cache.enable()
+    except Exception as e:  # noqa: BLE001 - cache is best-effort
+      logging.getLogger().warning('compilation cache disabled: %r', e)
     code = _run(stencil, args)
     if code:
       return code

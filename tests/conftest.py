@@ -24,5 +24,3 @@ import sys
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
   sys.path.insert(0, str(REPO_ROOT))
-
-CORPUS_DIR = pathlib.Path('/root/reference/tests/src')

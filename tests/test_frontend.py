@@ -9,6 +9,7 @@ import glob
 
 import pytest
 
+from soda_tpu import corpus
 from soda_tpu.frontend import ast, parser
 from soda_tpu.ir import nodes as ir
 from soda_tpu.ir.types import Type
@@ -51,10 +52,25 @@ def test_maximal_program_round_trip():
   assert p1 == p2
 
 
+@pytest.mark.parametrize('name', sorted(corpus.CORPUS))
+def test_corpus_round_trip(name):
+  # the corpus restates the reference's tests/src/*.soda workloads;
+  # round-tripping it keeps the suite independent of the reference
+  # checkout being present
+  src = corpus.CORPUS[name]
+  p1 = parser.parse(src)
+  s1 = str(p1)
+  p2 = parser.parse(s1)
+  assert str(p2) == s1, 'printing is not idempotent'
+  assert p1 == p2, 'print->parse is not structurally stable'
+
+
 @pytest.mark.parametrize(
     'path', sorted(glob.glob('/root/reference/tests/src/*.soda')),
     ids=lambda p: p.split('/')[-1])
-def test_corpus_round_trip(path):
+def test_reference_corpus_round_trip(path):
+  # optional extra coverage when the reference checkout exists
+  # (parametrization is empty otherwise)
   src = open(path).read()
   p1 = parser.parse(src)
   s1 = str(p1)
