@@ -79,14 +79,19 @@ def over_budget() -> bool:
 
 
 def chain_input_index(stencil):
-  """Index of the input that can carry the timing chain (same dtype as
-  the first output; shapes always agree)."""
+  """Index of the input that can carry the timing chain: same dtype as
+  the first output, or same item size (the chain bitcasts then —
+  sobel2d writes uint16 from an int16 input)."""
   out0 = stencil.output_names[0]
+  out_dt = stencil.symbol_table[out0].np_dtype
   for idx, in_name in enumerate(stencil.input_names):
-    if (stencil.symbol_table[in_name].np_dtype ==
-        stencil.symbol_table[out0].np_dtype):
+    if stencil.symbol_table[in_name].np_dtype == out_dt:
       return idx
-  raise RuntimeError('no chainable input for %s' % stencil.name)
+  for idx, in_name in enumerate(stencil.input_names):
+    if (np.dtype(stencil.symbol_table[in_name].np_dtype).itemsize ==
+        np.dtype(out_dt).itemsize):
+      return idx
+  raise RuntimeError('no chainable input for %s' % stencil.app_name)
 
 
 def slope_time(fn, args, chain_idx, est_iter_s, reps=3):
@@ -104,10 +109,15 @@ def slope_time(fn, args, chain_idx, est_iter_s, reps=3):
   import jax.numpy as jnp
   from jax import lax
 
+  in_dtype = args[chain_idx].dtype
+
   def body(i, a):
     call_args = list(args)
     call_args[chain_idx] = a
-    return fn(*call_args)[0]
+    out = fn(*call_args)[0]
+    if out.dtype != in_dtype:  # same-width chain (e.g. u16 -> i16)
+      out = jax.lax.bitcast_convert_type(out, in_dtype)
+    return out
 
   def make(n):
     return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))

@@ -52,6 +52,12 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
     else:
       backend = 'xla'
   if backend == 'pallas':
+    if (stencil.cluster or 'none') in ('coarse', 'fine'):
+      # per-stage-group kernels with HBM handoff (the reference's
+      # cluster granularities, cluster.py:51-202; fine == coarse on
+      # TPU — the per-PE split has no analog below one kernel)
+      from soda_tpu.backend.grouped import GroupedPallasExecutor
+      return GroupedPallasExecutor(stencil, shape, **kwargs)
     from soda_tpu.backend.pallas_kernel import PallasExecutor
     return PallasExecutor(stencil, shape, **kwargs)
   if backend == 'xla':

@@ -344,6 +344,8 @@ class PallasExecutor:
           for a, m in enumerate(slab_margins[name]))
 
     stage_names = [stage.name for stage in plan.stages]
+    # per-stage wrap-elision proofs (set by ranges.annotate in make_plan)
+    wrap_free = getattr(stencil, '_wrap_free', {})
     value_mode = self.stage_mode == 'value'
     if value_mode:
       slot_of, slot_dtypes = {}, []
@@ -432,6 +434,9 @@ class PallasExecutor:
       # region; consumers take static slices of parent values (Mosaic
       # lowers these to register shifts) instead of re-reading a VMEM
       # slab. Input slabs are read once and shared across all taps.
+      # Sub-32-bit integer values are kept at their C-promoted width
+      # (i32) throughout — one widen per input, one narrow per output,
+      # zero relayouts at stage boundaries (semantics.wrap_promoted).
       stage_vals: Dict[str, object] = {}
       input_vals: Dict[str, object] = {}
 
@@ -440,7 +445,11 @@ class PallasExecutor:
           return stage_vals[name], slab_margins[name]
         if name not in input_vals:
           k = stencil.input_names.index(name)
-          input_vals[name] = slabs[k][slot if not single else 0]
+          v = slabs[k][slot if not single else 0]
+          t = input_types[name]
+          if not t.is_float and t.width_in_bits < 32:
+            v = v.astype(semantics.promote(t).np_dtype)
+          input_vals[name] = v
         return input_vals[name], slab_margins[name]
 
       for stage in plan.stages:
@@ -492,16 +501,19 @@ class PallasExecutor:
         evaluator = semantics.Evaluator(jnp, load, param=param,
                                         fast_int_div=True)
         value, _ = evaluator.eval_stmt(stage.tensor)
-        wrapped = semantics.wrap(jnp, value, stage.dtype)
         if value_mode:
-          stage_vals[stage.name] = wrapped
+          stage_vals[stage.name] = semantics.wrap_promoted(
+              jnp, value, stage.dtype,
+              wrap_free.get(stage.name, False))
         else:
-          stage_refs[stage.name][region] = wrapped
+          stage_refs[stage.name][region] = semantics.wrap(
+              jnp, value, stage.dtype)
 
       def store_value(k, name, base, blk):
         """Store the valid rows of an output stage value into the
         output block whose slab row base is ``base`` (static)."""
         val = stage_vals[name]
+        store_dt = stencil.symbol_table[name].np_dtype
         m = slab_margins[name]
         jlo = max(0, m[0][0] - base)
         jhi = min(blk, s - m[0][1] - base)  # single mode: s == h
@@ -512,7 +524,12 @@ class PallasExecutor:
         for a in range(1, dim):
           out_idx.append(slice(m[a][0], size[a] - m[a][1]))
           val_idx.append(slice(None))
-        out_refs[k][tuple(out_idx)] = val[tuple(val_idx)]
+        val = val[tuple(val_idx)]
+        if val.dtype != store_dt:
+          # promoted-width integer value -> storage width; exact: the
+          # value is already wrapped into the storage type's range
+          val = val.astype(store_dt)
+        out_refs[k][tuple(out_idx)] = val
 
       for k, name in enumerate(stencil.output_names):
         if value_mode:

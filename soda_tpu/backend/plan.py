@@ -44,13 +44,7 @@ def window_margins(stencil, tensor: Tensor
     sources = tuple(map(stencil.tensors.get, stencil.input_names))
   else:
     sources = tuple(tensor.parents.values())
-  window = core.get_overall_stencil_window(sources, tensor)
-  stencil_dim = core.get_stencil_dim(window)
-  offset = core.get_stencil_window_offset(window)
-  lo = tuple(max(0, offset[d]) for d in range(len(stencil_dim)))
-  hi = tuple(
-      max(0, stencil_dim[d] - offset[d] - 1) for d in range(len(stencil_dim)))
-  return lo, hi
+  return core.window_margins(core.overall_window(tensor, sources))
 
 
 def materialized_margins(stencil) -> Dict[str, Tuple[Tuple[int, ...],

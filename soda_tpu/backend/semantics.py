@@ -90,6 +90,39 @@ def _as(xp, value, dtype: Type):
   return xp.asarray(value).astype(dtype.np_dtype)
 
 
+def wrap_promoted(xp, value, dtype: Type, wrap_free: bool = False):
+  """Like ``wrap`` but keeps integer results at their C-promoted width.
+
+  A sub-32-bit stage value stored at width w and immediately re-promoted
+  by every consumer (C's usual arithmetic conversions) is numerically
+  identical to the promoted-width value wrapped into w's range — so an
+  executor that keeps stage results in registers can skip the
+  narrow/re-widen relayouts entirely: apply the modular wrap in the
+  promoted type (3 cheap ALU ops), or nothing at all when the range
+  analysis proved the value already fits (``wrap_free``,
+  soda_tpu.optimization.ranges). Floats behave exactly like ``wrap``.
+  """
+  if dtype.is_float:
+    return wrap(xp, value, dtype)
+  ptype = promote(dtype)
+  value = xp.asarray(value)
+  if value.dtype.kind == 'f':
+    # C float->int conversion truncates toward zero (as does XLA's and
+    # NumPy's float->signed-int convert)
+    value = xp.trunc(value).astype(ptype.np_dtype)
+  elif value.dtype != ptype.np_dtype:
+    value = value.astype(ptype.np_dtype)
+  n = dtype.width_in_bits
+  if wrap_free or n >= ptype.width_in_bits:
+    return value
+  mask = xp.asarray((1 << n) - 1, dtype=ptype.np_dtype)
+  value = value & mask
+  if dtype.is_signed:
+    sign = xp.asarray(1 << (n - 1), dtype=ptype.np_dtype)
+    value = (value ^ sign) - sign
+  return value
+
+
 def c_int_div(xp, a, b):
   """C integer division: truncation toward zero (ISO C99 §6.5.5)."""
   q = a // b

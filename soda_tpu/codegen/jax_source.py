@@ -223,12 +223,12 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
     shape = (512,) + tuple(reversed(stencil.tile_size[:-1]))
   w = file.write
 
-  from soda_tpu.core.stencil import get_stencil_dim
+  from soda_tpu.core.stencil import window_extent
   w('"""Generated by soda-tpu; standalone %s stencil program.\n\n'
     % ('JAX' if target == 'jax' else 'NumPy'))
   w('This program was generated from the following SODA DSL\n')
   w('(stencil window %s, stencil distance %d):\n\n' %
-    (tuple(get_stencil_dim(stencil.stencil_window)),
+    (tuple(window_extent(stencil.stencil_window)),
      stencil.stencil_distance))
   w(str(stencil))
   w('\n"""\n\n')

@@ -4,9 +4,11 @@ Rebuild of /root/reference/src/soda/core.py (the ``Stencil`` class):
 tensor DAG construction with iterate-unrolling (core.py:307-456), the
 optimal reuse-buffer scheduling LP (ILP #1, core.py:371-426 — here solved
 exactly with scipy's HiGHS; the constraint matrix is a difference system,
-so LP relaxation is integral), reuse-chain / reuse-buffer / points math
-(core.py:684-795), and the overall stencil-window analytics
-(core.py:858-926) that drive valid-region and halo computation on TPU.
+so LP relaxation is integral), and overall stencil-window analytics
+(the role of core.py:858-926) driving valid-region / halo computation.
+The reference's FIFO reuse-chain construction (core.py:684-795) has no
+TPU counterpart — line buffers collapse into VMEM slabs sized by the
+fusion planner (backend/plan.py) — and is deliberately absent.
 """
 
 from __future__ import annotations
@@ -14,9 +16,8 @@ from __future__ import annotations
 import collections
 import itertools
 import logging
-import operator
 from functools import cached_property
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -208,37 +209,6 @@ class Stencil:
 
     return propagate_type
 
-  @cached_property
-  def norm_refs(self) -> Dict[str, Tuple[int, ...]]:
-    """Per-stmt normalization index (reference core.py:276-305)."""
-    norm_refs: Dict[str, Tuple[int, ...]] = {}
-
-    def get_norm_idx(stmt) -> Tuple[int, ...]:
-      norm_idx = norm_refs.get(stmt.name)
-      if norm_idx is None:
-        loads = ir_visitor.get_load_tuple(stmt.expr)
-        for let in stmt.let:
-          loads += ir_visitor.get_load_tuple(let)
-
-        def all_indices():
-          for load in loads:
-            if load.name in self.input_names:
-              yield load.idx
-            else:
-              yield tuple(
-                  x + y for x, y in zip(
-                      load.idx, get_norm_idx(self.stmt_table[load.name])))
-
-        norm_idx = tuple(x - y for x, y in zip(
-            min(all_indices(), key=lambda idx: tuple(reversed(tuple(idx)))),
-            stmt.ref.idx))
-        norm_refs[stmt.name] = norm_idx
-      return norm_idx
-
-    for stmt in self.local_stmts + self.output_stmts:
-      get_norm_idx(stmt)
-    return norm_refs
-
   # -- tensor DAG ---------------------------------------------------------------
   @cached_property
   def tensors(self) -> 'collections.OrderedDict[str, Tensor]':
@@ -369,87 +339,26 @@ class Stencil:
                 },
                 sort=False)))
 
-  @cached_property
-  def producer_tensors(self) -> Tuple[Tensor, ...]:
-    return tuple(filter(Tensor.is_producer, self.tensors.values()))
-
-  @cached_property
-  def consumer_tensors(self) -> Tuple[Tensor, ...]:
-    return tuple(filter(Tensor.is_consumer, self.tensors.values()))
-
-  @cached_property
-  def pixel_width_i(self):
-    return [t.width_in_bits for t in self.input_types]
-
-  @cached_property
-  def pixel_width_o(self):
-    return [t.width_in_bits for t in self.output_types]
-
-  # -- reuse buffers (ICCAD'18 line-buffer math, core.py:505-563) ----------------
-  @cached_property
-  def reuse_buffers(self):
-    unroll_factor = self.unroll_factor
-    self._reuse_buffer_lengths = {}
-    reuse_buffers = {}
-    for tensor in self.producer_tensors:
-      reuse_buffer = _get_reuse_buffer(self.tile_size, tensor, unroll_factor)
-      reuse_buffer_length = {}
-      reuse_buffers[tensor.name] = reuse_buffer
-      self._reuse_buffer_lengths[tensor.name] = reuse_buffer_length
-      first = [True] * unroll_factor
-      for start, end in reuse_buffer[1:]:
-        if first[start % unroll_factor]:
-          first[start % unroll_factor] = False
-          if start >= unroll_factor:
-            reuse_buffer_length[end] = end // unroll_factor
-            continue
-        reuse_buffer_length[end] = (end - start) // unroll_factor
-    return reuse_buffers
-
-  @cached_property
-  def all_points(self):
-    return {
-        tensor.name: _get_points(self.tile_size, tensor, self.unroll_factor)
-        for tensor in self.producer_tensors
-    }
-
-  @cached_property
-  def next_fifo(self):
-    next_fifo = {}
-    for name, reuse_buffer in self.reuse_buffers.items():
-      next_fifo[name] = {}
-      for start, end in reuse_buffer[1:]:
-        if start < end:
-          next_fifo[name][start] = end
-    return next_fifo
-
-  @cached_property
-  def reuse_buffer_lengths(self):
-    self.reuse_buffers  # noqa: B018 - populate
-    return self._reuse_buffer_lengths
-
   # -- stencil window analytics -------------------------------------------------
-  def _calculate_stencil_window(self) -> None:
-    stencil_window = get_overall_stencil_window(
-        map(self.tensors.get, self.input_names),
-        self.tensors[self.output_names[0]])
-    stencil_distance = get_stencil_distance(stencil_window, self.tile_size)
-    stencil_offset = stencil_distance - utils.serialize(
-        get_stencil_window_offset(stencil_window), self.tile_size)
-    self._stencil_window = stencil_window
-    self._stencil_distance = max(stencil_distance, stencil_offset)
+  @cached_property
+  def stencil_window(self) -> Tuple[Tuple[int, ...], ...]:
+    """Overall (transitive) read window of the first output w.r.t. the
+    inputs, offsets relative to the output cell."""
+    return overall_window(
+        self.tensors[self.output_names[0]],
+        [self.tensors[name] for name in self.input_names])
 
-  @property
+  @cached_property
   def stencil_distance(self) -> int:
-    if not hasattr(self, '_stencil_distance'):
-      self._calculate_stencil_window()
-    return self._stencil_distance
-
-  @property
-  def stencil_window(self):
-    if not hasattr(self, '_stencil_window'):
-      self._calculate_stencil_window()
-    return self._stencil_window
+    """Number of input elements the pipeline must retain: newest
+    serialized read plus the low-corner anchor displacement (the
+    reference's line-buffer size, README.md:155-156; never less than
+    the newest read alone, for windows entirely ahead of the anchor)."""
+    newest = max(
+        utils.serialize_iter(self.stencil_window, self.tile_size))
+    anchor = utils.serialize(window_offset(self.stencil_window),
+                             self.tile_size)
+    return max(newest + anchor, newest)
 
   @property
   def meta_lines(self) -> Tuple[str, ...]:
@@ -458,122 +367,62 @@ class Stencil:
         '"""\n%s\n"""' % self,
         '',
         '# stencil window size: %s' %
-        (tuple(get_stencil_dim(self.stencil_window)),),
+        (tuple(window_extent(self.stencil_window)),),
         '# stencil distance: %s' % self.stencil_distance,
         '',
     )
 
 
-# -- module-level window/reuse math (reference core.py:684-926) -----------------
-def _get_reuse_chains(tile_size, tensor, unroll_factor):
-  """Partition the unrolled access-offset set A-dagger into unroll_factor
-  chains by offset mod unroll (reference core.py:684-725)."""
-
-  def unroll_offsets(child):
-    unrolled_offsets = set()
-    for unroll_idx in range(unroll_factor):
-      for offset in child.ld_offsets[tensor.name]:
-        unrolled_offsets.add(unroll_idx + child.st_offset - offset +
-                             child.produce_offset - tensor.produce_offset)
-    return unrolled_offsets
-
-  a_dag = set()
-  for child in tensor.children.values():
-    a_dag |= unroll_offsets(child)
-
-  chains = []
-  for chain_idx in reversed(range(unroll_factor)):
-    chains.append(
-        tuple(
-            sorted(offset for offset in a_dag
-                   if offset % unroll_factor == chain_idx)))
-  return chains
+# -- stencil window math ----------------------------------------------------------
+#
+# The overall window drives halo sizing, valid-region computation and
+# the ``stencil distance`` diagnostic (the same quantities the
+# reference derives at core.py:858-926 for host padding). Computed here
+# as a worklist walk over (tensor, accumulated offset) states instead
+# of per-source recursion: starting from one output cell, follow every
+# load edge backward, accumulating the relative displacement, and
+# collect the displacements at which a source tensor is read.
 
 
-def _get_points(tile_size, tensor, unroll_factor):
-  """(offset, unroll_idx) -> stencil-window point map
-  (reference core.py:728-762)."""
-  all_points = {}  # {name: {offset: {unroll_idx: point_idx}}}
-  for child in tensor.children.values():
-    all_points[child.name] = {}
-    offsets = child.ld_offsets[tensor.name]
-    for unroll_idx in range(unroll_factor):
-      for idx, offset in enumerate(offsets):
-        all_points[child.name].setdefault(
-            unroll_idx + child.st_offset - offset + child.produce_offset -
-            tensor.produce_offset, {})[unroll_factor - 1 - unroll_idx] = idx
-  return all_points
+def overall_window(tensor: Tensor, sources) -> Tuple[Tuple[int, ...], ...]:
+  """All cells of ``sources`` (offsets relative to one ``tensor`` cell)
+  that computing that cell transitively reads."""
+  wanted = {t.name for t in sources}
+  start = (0,) * len(tensor.st_idx)
+  seen = {(tensor.name, start)}
+  todo = [(tensor, start)]
+  window = set()
+  while todo:
+    t, at = todo.pop()
+    if t.name in wanted:
+      window.add(at)
+    for parent_name, refs in t.ld_refs.items():
+      parent = t.parents[parent_name]
+      for ref in refs:
+        # a load of parent(ref.idx) while storing t(st_idx) displaces
+        # the coordinate frame by their difference
+        hop = tuple(a + r - s for a, r, s in zip(at, ref.idx, t.st_idx))
+        state = (parent_name, hop)
+        if state not in seen:
+          seen.add(state)
+          todo.append((parent, hop))
+  return tuple(sorted(window))
 
 
-def _get_reuse_buffer(tile_size, tensor, unroll_factor):
-  """Convert chains to [length, (start, end)...] FIFO segments
-  (reference core.py:765-795)."""
-  reuse_buffer = [None]
-  offsets = []
-  for chain_id, chain in enumerate(
-      _get_reuse_chains(tile_size, tensor, unroll_factor)):
-    reuse_buffer.append((unroll_factor - 1 - chain_id, chain[0]))
-    offsets.append(chain[0])
-    for j in range(len(chain) - 1):
-      reuse_buffer.append((chain[j], chain[j + 1]))
-      offsets.append(chain[j + 1])
-  reuse_buffer[0] = max(offsets) + 1
-  return reuse_buffer
+def window_extent(window) -> List[int]:
+  """Per-dimension size of the window's bounding box."""
+  return [max(axis) - min(axis) + 1 for axis in zip(*window)]
 
 
-def get_indices_id(indices) -> str:
-  return '_'.join(str(idx).replace('-', 'm') for idx in indices)
+def window_offset(window) -> Tuple[int, ...]:
+  """Displacement from the window's low corner to the anchor cell."""
+  return tuple(-min(axis) for axis in zip(*window))
 
 
-def get_stencil_distance(stencil_window, tile_size) -> int:
-  return (max(utils.serialize_iter(stencil_window, tile_size)) +
-          utils.serialize(get_stencil_window_offset(stencil_window),
-                          tile_size))
+def window_margins(window) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+  """(lo, hi) border widths a window implies, per dimension."""
+  lo = tuple(max(0, -min(axis)) for axis in zip(*window))
+  hi = tuple(max(0, max(axis)) for axis in zip(*window))
+  return lo, hi
 
 
-def get_stencil_dim(points) -> List[int]:
-  dimension = len(next(iter(points)))
-  return [
-      max_index - min_index + 1 for max_index, min_index in zip(
-          [max(point[d] for point in points) for d in range(dimension)],
-          [min(point[d] for point in points) for d in range(dimension)])
-  ]
-
-
-_overall_stencil_window_cache: Dict[Tuple[int, int], Tuple] = {}
-
-
-def get_overall_stencil_window(input_tensor, output_tensor):
-  """Transitive Minkowski-sum stencil window input->output, store index
-  normalized to 0 (reference core.py:876-919)."""
-  if isinstance(input_tensor, collections.abc.Iterable):
-    return tuple(
-        sorted(
-            set.union(*(set(get_overall_stencil_window(t, output_tensor))
-                        for t in input_tensor))))
-  idx = (id(input_tensor), id(output_tensor))
-  if idx in _overall_stencil_window_cache:
-    return _overall_stencil_window_cache[idx]
-  all_points = set()
-  for name, points in output_tensor.ld_indices.items():
-    if name != input_tensor.name:
-      recursive_points = get_overall_stencil_window(
-          input_tensor, output_tensor.parents[name])
-      all_points |= set.union(*[{
-          tuple(map(lambda a, b, c: a + b - c, p, point,
-                    output_tensor.st_idx)) for p in recursive_points
-      } for point in points])
-    else:
-      all_points |= {
-          tuple(map(operator.sub, point, output_tensor.st_idx))
-          for point in points
-      }
-  all_points = tuple(sorted(all_points))
-  _overall_stencil_window_cache[idx] = all_points
-  return all_points
-
-
-def get_stencil_window_offset(stencil_window):
-  # only works if window is normalized to store at 0
-  return tuple(-min(p[d] for p in stencil_window)
-               for d in range(len(next(iter(stencil_window)))))

@@ -1,126 +1,125 @@
-"""High-level DAG tensor for stencil dependency analysis.
+"""DAG node for stencil dependency analysis.
 
-Rebuild of /root/reference/src/soda/tensor.py: one Tensor per input /
-local / output statement (after iterate-unrolling), carrying store ref,
-expression, parent/child edges and load-ref tables used by the reuse
-analysis and all backends.
+One Tensor per input / local / output statement (after
+iterate-unrolling). Serves the same role as the reference's
+src/soda/tensor.py Tensor, redesigned around what the TPU pipeline
+actually consumes: the reuse-offset LP reads ``load_offsets``; the
+fusion planner (backend/plan.py) reads ``ld_refs``/``st_idx``; the
+executors evaluate ``lets``/``expr``. FPGA-era per-access FIFO tables
+have no counterpart here.
 """
 
 from __future__ import annotations
 
-import collections
 import copy
-from functools import cached_property
+from typing import Dict, List, Optional, Tuple
 
 from soda_tpu import utils
 from soda_tpu.ir import nodes as ir
 
 
 class Tensor:
-  """See reference tensor.py:14-147 for the original field semantics.
+  """A value in the stencil DAG.
 
   Attributes:
+    name: unique statement name.
     dtype: element Type.
-    parents / children: name -> Tensor.
-    st_ref: store Ref (None for inputs).
-    lets / expr: computation (empty/None for inputs).
-    ld_refs: name -> list of loaded Refs (sorted by serialized offset).
-    produce_offset / consume_offset / max_access: reuse-schedule results,
-      set by Stencil.tensors (the LP at stencil.py).
+    st_ref: the store Ref of the defining statement (None for inputs).
+    lets / expr: the computation (empty / None for inputs).
+    parents / children: name -> Tensor edges, wired by Stencil.tensors.
+    ld_refs: parent name -> list of loaded Refs (sorted by serialized
+      offset), wired by Stencil.tensors.
+    produce_offset / consume_offset / max_access: results of the
+      reuse-offset LP (Stencil._solve_reuse_offsets).
   """
 
   def __init__(self, stmt, tile_size):
-    self.dtype = stmt.dtype
     self._tile_size = tuple(tile_size)
-    if hasattr(stmt, 'ref') and stmt.ref is not None:  # local/output stmt
-      self.st_ref = copy.copy(stmt.ref)
+    self.dtype = stmt.dtype
+    ref = getattr(stmt, 'ref', None)
+    if ref is not None:  # local / output statement
+      self.st_ref = copy.copy(ref)
       self.st_ref.parent = self
-      self.lets = tuple(stmt.let)
-      self.expr = stmt.expr
-    elif hasattr(stmt, 'tile_size'):  # input stmt
-      self._name = stmt.name
+      self.name = ref.name
+      self.st_idx: Tuple[int, ...] = tuple(ref.idx)
+      self.lets: Tuple[ir.Let, ...] = tuple(stmt.let)
+      self.expr: Optional[ir.Node] = stmt.expr
+    else:  # input statement: no computation, origin store index
       self.st_ref = None
+      self.name = stmt.name
+      self.st_idx = (0,) * len(self._tile_size)
       self.lets = ()
       self.expr = None
-    else:
-      raise utils.InternalError('cannot initialize a Tensor from %s' %
-                                type(stmt))
-    self.parents = collections.OrderedDict()
-    self.children = collections.OrderedDict()
-    self.ld_refs = collections.OrderedDict()
+    self.parents: Dict[str, 'Tensor'] = {}
+    self.children: Dict[str, 'Tensor'] = {}
+    self.ld_refs: Dict[str, List[ir.Ref]] = {}
     self.produce_offset = 0
     self.consume_offset = 0
     self.max_access = 0
 
-  @property
-  def name(self) -> str:
-    if self.st_ref is not None:
-      return self.st_ref.name
-    return self._name
-
-  @property
-  def st_idx(self):
-    if self.st_ref is not None:
-      return self.st_ref.idx
-    return (0,) * len(self._tile_size)
-
+  # -- serialized (column-major linear) offsets ---------------------------------
   @property
   def st_offset(self) -> int:
+    """Store index as a column-major linear offset."""
     return utils.serialize(self.st_idx, self._tile_size)
 
-  @cached_property
-  def ld_indices(self):
-    return collections.OrderedDict(
-        (name, collections.OrderedDict((ref.idx, ref) for ref in refs))
-        for name, refs in self.ld_refs.items())
+  @property
+  def ld_offsets(self) -> Dict[str, Dict[int, ir.Ref]]:
+    """Per-parent map of serialized load offset -> Ref."""
+    table: Dict[str, Dict[int, ir.Ref]] = {}
+    for parent, refs in self.ld_refs.items():
+      table[parent] = {
+          utils.serialize(r.idx, self._tile_size): r for r in refs
+      }
+    return table
 
-  @cached_property
-  def ld_offsets(self):
-    return collections.OrderedDict(
-        (name,
-         collections.OrderedDict(
-             (utils.serialize(ref.idx, self._tile_size), ref)
-             for ref in refs)) for name, refs in self.ld_refs.items())
+  # -- IR traversal --------------------------------------------------------------
+  def mutate(self, callback, args=None) -> None:
+    """Rewrite lets, expr and the store ref with an IR visitor."""
+    self.lets = tuple(let.visit(callback, args) for let in self.lets)
+    if self.expr is not None:
+      self.expr = self.expr.visit(callback, args)
+    if self.st_ref is not None:
+      self.st_ref = self.st_ref.visit(callback, args)
+      # the callback may have renamed or re-indexed the store
+      self.name = self.st_ref.name
+      self.st_idx = tuple(self.st_ref.idx)
 
-  def propagate_type(self):
-    if self.expr is None:
-      return
-    var_types = {let.name: let.dtype for let in self.lets}
-
-    def visit_dtype(obj, args):
-      if obj.dtype is None and isinstance(obj, ir.Var):
-        obj.dtype = var_types.get(obj.name)
-      return obj
-
-    self.lets = tuple(l.visit(visit_dtype) for l in self.lets)
-    self.expr = self.expr.visit(visit_dtype)
-    self.st_ref = self.st_ref.visit(visit_dtype)
-
-  def mutate(self, callback, args=None):
-    self.lets = tuple(l.visit(callback, args) for l in self.lets)
-    self.expr = self.expr.visit(callback, args)
-    self.st_ref = self.st_ref.visit(callback, args)
-
-  def visit_loads(self, callback, args=None):
+  def visit_loads(self, callback, args=None) -> None:
+    """Read-only visit over the computation side (lets + expr)."""
     for let in self.lets:
       let.visit(callback, args)
-    self.expr.visit(callback, args)
+    if self.expr is not None:
+      self.expr.visit(callback, args)
 
-  def __str__(self):
-    return ('Tensor\n  {dtype}: {name} = {expr}\n  store: {st_ref}\n'
-            '  parents: {parents}\n  children: {children}').format(
-                name=self.name, dtype=self.dtype, expr=self.expr,
-                parents=utils.idx2str(self.parents),
-                children=utils.idx2str(self.children), st_ref=self.st_ref)
+  def propagate_type(self) -> None:
+    """Fill let-variable dtypes into their uses."""
+    if self.expr is None:
+      return
+    let_types = {let.name: let.dtype for let in self.lets}
+
+    def fill(node, _):
+      if isinstance(node, ir.Var) and node.dtype is None:
+        node.dtype = let_types.get(node.name)
+      return node
+
+    self.mutate(fill)
+
+  # -- DAG classification ---------------------------------------------------------
+  def is_input(self) -> bool:
+    return not self.parents
 
   def is_output(self) -> bool:
-    return len(self.children) == 0
-
-  def is_input(self) -> bool:
-    return len(self.parents) == 0
+    return not self.children
 
   def is_producer(self) -> bool:
-    return not self.is_output()
+    """Feeds at least one other tensor."""
+    return bool(self.children)
 
   def is_consumer(self) -> bool:
-    return not self.is_input()
+    """Reads at least one other tensor."""
+    return bool(self.parents)
+
+  def __repr__(self) -> str:
+    return 'Tensor(%s: %s <- [%s])' % (
+        self.name, self.dtype, ', '.join(self.parents))

@@ -1,55 +1,86 @@
-"""Mutating rewrites over the expression IR.
+"""Index-space rewrites over the expression IR.
 
-Equivalent of the reference's src/soda/mutator.py: ``shift`` (pointwise
-index offsetting), ``normalize`` (least index to 0), and
-``replace_expressions`` (normalization-aware CSE substitution).
+Three rewrites every stencil pass needs (same capabilities as the
+reference's src/soda/mutator.py, restructured around a single
+map-over-refs primitive):
+
+  * ``shift``      — move every tensor access by a constant offset;
+  * ``normalize``  — shift so the least access index (in column-major
+                     order) lands on the origin;
+  * ``replace_expressions`` — CSE substitution keyed on normalized
+                     subexpressions.
 """
 
 from __future__ import annotations
 
-import collections
-import logging
+import collections.abc
 import operator
 import types
-from typing import Mapping, MutableMapping, Optional, Tuple
+from typing import Mapping, MutableMapping, Optional, Sequence, Tuple
 
 from soda_tpu.ir import nodes as ir
 from soda_tpu.ir import visitor
 
-_logger = logging.getLogger().getChild(__name__)
 
+def _map_refs(obj, fn):
+  """Apply ``fn(ref)`` to every ir.Ref in ``obj``.
 
-def shift(obj, offset, excluded=(), op=operator.sub):
-  """Shift all Refs (except ``excluded`` names) by ``offset`` pointwise.
-
-  Same contract as reference mutator.py:23-60: for an IR node a new
-  object is returned; for a Tensor its fields are mutated in place.
+  ``obj`` may be an ir.Node (a rewritten copy is returned) or any
+  object exposing ``mutate`` (a Tensor; mutated in place and returned).
   """
 
-  def cb(node, _):
-    if isinstance(node, ir.Ref) and node.name not in excluded:
-      node.idx = tuple(op(a, b) for a, b in zip(node.idx, offset))
+  def callback(node, _):
+    if isinstance(node, ir.Ref):
+      fn(node)
     return node
 
   if isinstance(obj, ir.Node):
-    return obj.visit(cb)
-  if hasattr(obj, 'mutate'):
-    obj.mutate(cb)
-    return obj
-  raise TypeError('argument is not an IR node or a tensor')
+    return obj.visit(callback)
+  mutate = getattr(obj, 'mutate', None)
+  if mutate is None:
+    raise TypeError('cannot rewrite refs of %r' % type(obj))
+  mutate(callback)
+  return obj
+
+
+def shift(obj, offset: Sequence[int], excluded=(), op=operator.sub):
+  """Offset every Ref index (except ``excluded`` names) pointwise.
+
+  The default ``op`` subtracts, i.e. ``shift(x, k)`` moves an access
+  ``t(i)`` to ``t(i - k)``; pass ``operator.add`` to move forward.
+  """
+  # fold the operator into a signed delta so the hot path is one add
+  if op is operator.sub:
+    delta = tuple(-x for x in offset)
+  elif op is operator.add:
+    delta = tuple(offset)
+  else:
+    raise ValueError('shift expects operator.add or operator.sub')
+  skip = frozenset(excluded)
+
+  def move(ref: ir.Ref) -> None:
+    if ref.name not in skip:
+      ref.idx = tuple(i + d for i, d in zip(ref.idx, delta))
+
+  return _map_refs(obj, move)
 
 
 def normalize(obj, references: Optional[Mapping[str, Tuple[int, ...]]] = None):
-  """Shift so the least access index (column-major order) becomes 0."""
+  """Shift ``obj`` so its least access index becomes the origin.
+
+  Accepts a single ir.Node or an iterable of them (normalized jointly:
+  one common shift for the whole group).
+  """
   if isinstance(obj, types.GeneratorType):
-    return normalize(tuple(obj), references)
-  norm_idx = visitor.get_normalize_index(obj, references)
-  shifter = lambda x: shift(x, norm_idx) if any(norm_idx) else x
+    obj = tuple(obj)
+  origin = visitor.get_normalize_index(obj, references)
+  if not any(origin):
+    return obj
   if isinstance(obj, ir.Node):
-    return shifter(obj)
+    return shift(obj, origin)
   if isinstance(obj, collections.abc.Iterable):
-    return type(obj)(map(shifter, obj))
-  raise TypeError('argument is not an ir.Node or an iterable of ir.Nodes')
+    return type(obj)(shift(node, origin) for node in obj)
+  raise TypeError('normalize expects an ir.Node or an iterable of them')
 
 
 def replace_expressions(
@@ -58,26 +89,26 @@ def replace_expressions(
     used: Optional[MutableMapping[ir.Node, ir.Node]] = None,
     references: Optional[Mapping[str, Tuple[int, ...]]] = None,
 ) -> ir.Node:
-  """Substitute common subexpressions, normalization-aware.
+  """Substitute common subexpressions bottom-up, normalization-aware.
 
-  ``cses`` maps normalized subexpressions to replacement Refs; any
-  sub-node equal (after normalization) to a key is replaced by the
-  mapped Ref shifted back by the normalization index. Mirrors reference
-  mutator.py:91-129.
+  ``cses`` maps *normalized* subexpressions to the Refs that will hold
+  their value. Any sub-node of ``obj`` whose normalized form matches a
+  key is replaced by that key's Ref, shifted back to the sub-node's own
+  position. When ``used`` is given, each hit is recorded there with its
+  own definition rewritten against the remaining substitutions (so
+  chained CSEs reference each other, not the original expression).
   """
 
-  def cb(node, args):
-    cses, used = args
-    norm_idx = visitor.get_normalize_index(node, references)
-    normalized = shift(node, norm_idx) if any(norm_idx) else node
-    if normalized in cses:
-      if used is not None and normalized not in used:
-        used[normalized] = replace_expressions(
-            normalized, {k: v for k, v in cses.items() if k != normalized},
-            used)
-      new_node = shift(cses[normalized], norm_idx, op=operator.add)
-      _logger.debug('replacing %s with %s', node, new_node)
-      return new_node
-    return node
+  def substitute(node):
+    origin = visitor.get_normalize_index(node, references)
+    canon = shift(node, origin) if any(origin) else node
+    hit = cses.get(canon)
+    if hit is None:
+      return node
+    if used is not None and canon not in used:
+      rest = dict(cses)
+      del rest[canon]
+      used[canon] = replace_expressions(canon, rest, used)
+    return shift(hit, origin, op=operator.add)
 
-  return obj.visit(cb, (cses, used))
+  return obj.visit(lambda node, _: substitute(node))

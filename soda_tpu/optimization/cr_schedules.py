@@ -841,4 +841,67 @@ class Expression:
     return arithmetic.simplify(top)
 
   def get_ir_node_with_cr(self, stencil, cses) -> ir.Node:
-    return self.lower(self.best_schedule, stencil, cses)
+    node = self.lower(self.best_schedule, stencil, cses)
+    return absolute_cse(node, stencil, cses)
+
+
+def absolute_cse(node: ir.Node, stencil,
+                 cses: Dict[ir.Node, ir.Ref]) -> ir.Node:
+  """Pull repeated coefficient subtrees into shared variables.
+
+  The second half of the DAC'20 lowering (reference
+  computation_reuse.py:815-868, ``get_ir_node_with_cr`` on top of rcr):
+  after relative CSE, the reduction operands still repeat *absolute*
+  attribute computations — e.g. contrast's radially-symmetric table
+  multiplies the input by the same coefficient at up to 8 offsets. Any
+  compound operand whose normalized form occurs more than once (across
+  the rewritten node AND every CSE definition) becomes one new variable
+  computed once and read at shifted offsets.
+  """
+  norm_refs = {ref.name: ref.idx for ref in cses.values()}
+  occurrences: Dict[ir.Node, List[Tuple[int, ...]]] = \
+      collections.OrderedDict()
+
+  def tally(expr: ir.Node, base_idx: Tuple[int, ...] = ()) -> None:
+    reduction = ir.to_reduction(expr)
+    if reduction is None:
+      return
+    for operand in reduction[1]:
+      if not isinstance(operand, ir.CHAIN_CLASSES):
+        continue  # plain loads have no computation to share
+      idx = soda_visitor.get_normalize_index(operand, references=norm_refs)
+      if base_idx:
+        idx = tuple(x - y for x, y in zip(idx, base_idx))
+      key = mutator.normalize(operand, references=norm_refs)
+      occurrences.setdefault(key, []).append(idx)
+
+  tally(node, soda_visitor.get_normalize_index(node, references=norm_refs))
+  for definition in cses:
+    tally(definition)  # definitions are already normalized
+
+  acrs: Dict[ir.Node, ir.Ref] = {}
+  for operand, indices in occurrences.items():
+    if len(indices) < 2:
+      continue
+    name = stencil.new_cr_var()
+    # write at the least occurrence index so every read looks backward
+    least = min(indices, key=lambda idx: tuple(reversed(idx)))
+    acrs[operand] = ir.Ref(name=name, idx=_neg(least), lat=None,
+                           dtype=operand.dtype)
+    # operand types were propagated before the pass ran, so the new
+    # variable's type is simply the subtree's type
+    stencil.symbol_table[name] = operand.dtype
+  if not acrs:
+    return node
+
+  def rewrite(expr: ir.Node) -> ir.Node:
+    return mutator.replace_expressions(expr, acrs, references=norm_refs)
+
+  # existing definitions now read the shared variables
+  for definition, ref in list(cses.items()):
+    del cses[definition]
+    cses[rewrite(definition)] = ref
+  cses.update(acrs)
+  reduction = ir.to_reduction(node)
+  return arithmetic.simplify(
+      ir.from_reduction(reduction[0], tuple(map(rewrite, reduction[1]))))

@@ -162,6 +162,7 @@ def annotate(stencil) -> Dict[str, Range]:
   if cached is not None:
     return cached
   ranges: Dict[str, Range] = {}
+  wrap_free: Dict[str, bool] = {}
   for name in stencil.input_names:
     ranges[name] = _type_range(stencil.symbol_table[name])
   for tensor in stencil.chronological_tensors:
@@ -174,6 +175,12 @@ def annotate(stencil) -> Dict[str, Range]:
         r = _clip_to_type(r, let.dtype)
       analyzer.env[let.name] = r
     r = analyzer.range_of(tensor.expr)
+    # the store wrap is a provable no-op when the computed range
+    # already fits the declared type — executors can then keep the
+    # value at its C-promoted width with no mask/convert at all
+    tr = _type_range(tensor.dtype)
+    wrap_free[tensor.name] = bool(tr[0] <= r[0] and r[1] <= tr[1])
     ranges[tensor.name] = _clip_to_type(r, tensor.dtype)
   stencil._tensor_ranges = ranges
+  stencil._wrap_free = wrap_free
   return ranges

@@ -58,15 +58,15 @@ def test_stencil_window_and_distance():
   # 3x3 window on a 2000-wide tile needs a 2-line buffer:
   # distance = 2*2000 + 2 (README.md:155-156 in the reference)
   stencil = build_stencil(BLUR.replace('iterate: 2', 'iterate: 1'))
-  from soda_tpu.core.stencil import get_stencil_dim
-  assert get_stencil_dim(stencil.stencil_window) == [3, 3]
+  from soda_tpu.core.stencil import window_extent
+  assert window_extent(stencil.stencil_window) == [3, 3]
   assert stencil.stencil_distance == 2 * 2000 + 2
 
 
 def test_iterated_window_grows():
   stencil = build_stencil(BLUR)
-  from soda_tpu.core.stencil import get_stencil_dim
-  assert get_stencil_dim(stencil.stencil_window) == [5, 5]
+  from soda_tpu.core.stencil import window_extent
+  assert window_extent(stencil.stencil_window) == [5, 5]
 
 
 def test_reuse_offsets_feasible():
@@ -80,11 +80,20 @@ def test_reuse_offsets_feasible():
       assert ld.consume_offset >= st.produce_offset + (st.st_offset - oldest)
 
 
-def test_reuse_buffers_cover_unroll():
+def test_margins_and_halo_contract():
+  """The window analytics must agree with the executed-margin contract:
+  a 3x3 two-stage blur needs a 1-cell halo per side per sweep."""
+  from soda_tpu.backend.plan import make_plan, materialized_margins
   stencil = build_stencil(BLUR.replace('iterate: 2', 'iterate: 1'))
-  for name, buf in stencil.reuse_buffers.items():
-    assert buf[0] >= 1  # buffer capacity
-    assert len(buf) >= 1 + stencil.unroll_factor  # one chain head per PE
+  margins = materialized_margins(stencil)
+  assert margins['input'] == ((0, 0), (0, 0))
+  assert margins['tmp'] == ((1, 0), (1, 0))  # dim 0 only (row pass)
+  assert margins['output'] == ((1, 1), (1, 1))
+  plan = make_plan(stencil, 'full')
+  assert plan.halo_lo == (1, 1) and plan.halo_hi == (1, 1)
+  # two fused sweeps double the halo
+  plan2 = make_plan(build_stencil(BLUR), 'full')
+  assert plan2.halo_lo == (2, 2) and plan2.halo_hi == (2, 2)
 
 
 def test_dram_override():

@@ -177,3 +177,69 @@ def test_cr_adds_reuse_vars():
   stencil = corpus.build('erosion',
                          optimizations={'computation-reuse': 'greedy'})
   assert any(n.startswith('cr_var_') for n in stencil.local_names)
+
+
+def _lowered_op_count(stencil) -> int:
+  from soda_tpu.ir import nodes as ir
+  count = [0]
+
+  def cb(node, _):
+    if isinstance(node, ir.CHAIN_CLASSES):
+      count[0] += len(node.operator)
+    return node
+
+  for stmt in stencil.local_stmts + stencil.output_stmts:
+    for expr in [stmt.expr] + [let.expr for let in stmt.let]:
+      expr.visit(cb)
+  return count[0]
+
+
+def test_absolute_cse_on_contrast():
+  """The acr half (reference computation_reuse.py:815-868): contrast's
+  radially-symmetric coefficient table repeats each input*coeff subtree
+  at up to 8 offsets; absolute CSE computes each once."""
+  plain = corpus.build('contrast')
+  reused = corpus.build('contrast',
+                        optimizations={'computation-reuse': 'greedy'})
+  plain_ops = _lowered_op_count(plain)
+  reused_ops = _lowered_op_count(reused)
+  assert plain_ops >= 390  # 17x17 radial table
+  assert reused_ops < plain_ops // 2, (plain_ops, reused_ops)
+  # coefficient vars exist and each is a genuine multi-consumer var
+  names = set(reused.local_names)
+  assert any(n.startswith('cr_var_') for n in names)
+  # semantics preserved (float reassociation within THRESHOLD handled
+  # by the shared helper)
+  shape = corpus.TEST_DIMS['contrast']
+  inputs = reference.make_test_inputs(reused, shape)
+  want = reference.run(reused, inputs)
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  got = PallasExecutor(reused, shape)(inputs)
+  import numpy as np
+  region = reference.output_valid_slices(reused, shape)
+  assert_close_reference(
+      np.asarray(got['output'])[region], want['output'][region], True,
+      'contrast:acr')
+
+
+def test_absolute_cse_shares_coefficient_subtrees():
+  """An 11x11 sum with repeated coefficient loads must share the
+  coefficient computation (the reference exercises the same case at
+  test_computation_reuse.py:308-334)."""
+  taps = ' + '.join('input(%d, %d) * %d' % (dx, dy, 1 + ((dx + dy) % 3))
+                    for dy in range(11) for dx in range(11))
+  src = ('kernel: aat\nburst width: 64\nunroll factor: 1\niterate: 1\n'
+         'border: ignore\ncluster: none\n'
+         'input dram 0 float: input(64, *)\n'
+         'output dram 1 float: output(0, 0) = %s\n' % taps)
+  from soda_tpu.api import build_stencil
+  plain = build_stencil(src)
+  reused = build_stencil(src,
+                         optimizations={'computation-reuse': 'greedy'})
+  assert _lowered_op_count(reused) < _lowered_op_count(plain)
+  # each distinct coefficient appears in exactly one multiplication
+  mults = sum(
+      1 for stmt in reused.local_stmts + reused.output_stmts
+      for _ in [stmt.expr]
+      if '*' in str(stmt.expr))
+  assert mults <= len(reused.local_stmts) + 1
