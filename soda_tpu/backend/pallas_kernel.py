@@ -44,6 +44,11 @@ from soda_tpu.ir import nodes as ir
 # VMEM budget for choosing block_rows (bytes); leaves headroom out of
 # the ~16 MB scoped limit for Mosaic's own temporaries.
 _VMEM_BUDGET = 14 * 1024 * 1024
+# hard legality floor: the physical scoped-VMEM limit. Configurations
+# whose *minimum* working set exceeds this cannot compile; ones between
+# the soft budget and this line are attempted (the estimate is
+# deliberately conservative).
+_VMEM_LIMIT = 16 * 1024 * 1024
 
 # Sublane tile: streaming-dim DMA offsets must be multiples of this.
 _ALIGN = 8
@@ -121,20 +126,24 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   for name in plan.stencil.input_names:
     esize = plan.stencil.symbol_table[name].width_in_bytes
     total += 2 * _padded_cells((s,) + rest) * esize
-  # per-SLOT VMEM scratch at storage width (liveness-reused slabs)...
+  # per-SLOT VMEM scratch (liveness-reused slabs): storage width in
+  # vmem mode; C-promoted width in value mode (wrap_promoted keeps
+  # sub-32-bit integers at i32)
   _, slot_dtypes = scratch_slots(plan)
   for dt in slot_dtypes:
-    total += _padded_cells((s,) + rest) * np.dtype(dt).itemsize
+    esize = np.dtype(dt).itemsize
+    if stage_mode == 'value' and np.dtype(dt).kind in 'iu':
+      esize = max(4, esize)
+    total += _padded_cells((s,) + rest) * esize
   # ...plus transient fold temporaries at compute width. In slice mode
   # (wide lanes) Mosaic keeps roughly every shifted tap load of a
   # statement live at once — measured: 19-tap folds allocate ~16-19
   # slab temporaries, with a scheduler window cap near 20. Rotate mode
-  # (narrow lanes) consumes loads in place. Value mode holds live stage
-  # values in Mosaic's scratch instead of named slabs — same accounting
-  # (the slot count IS the peak liveness), plus a couple of extras.
+  # (narrow lanes) and value mode consume loads in place (the slot
+  # count above IS the peak stage liveness there).
   if plan.stages:
     if stage_mode == 'value':
-      factor = 4
+      factor = 2
     elif rest and rest[-1] <= 256:  # rotate-mode lane extents
       factor = 3
     else:
@@ -181,7 +190,8 @@ class PallasExecutor:
                block_rows: Optional[int] = None,
                interpret: Optional[bool] = None,
                lane_shift: str = 'auto',
-               stage_mode: str = 'auto'):
+               stage_mode: str = 'auto',
+               mid_tile: Optional[int] = None):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -226,7 +236,40 @@ class PallasExecutor:
     if len(rest) >= 2:
       rest[-2] = _pad_to(rest[-2], _ALIGN)
     self.rest_pad = tuple(rest)
-    b = block_rows or choose_block_rows(self.plan, self.shape,
+
+    # optional mid-axis (array axis 1) blocking for 3-D grids whose
+    # cross-section exceeds the VMEM budget: the mid axis joins the
+    # Pallas grid with halo-overlapped sub-slabs, so tiles pipeline
+    # through the same double-buffered DMA as streaming blocks (the
+    # in-grid analog of the reference host's halo-overlapped spatial
+    # tiling, host.py:641-701)
+    self.mid_tile = None
+    self.grid_m = 1
+    if mid_tile is not None:
+      if dim != 3:
+        raise utils.InputError('mid tiling applies to 3-D grids only')
+      if self.stage_mode != 'value':
+        raise utils.InputError('mid tiling requires stage_mode=value')
+      m = self.shape[1]
+      mlo = _pad_to(self.plan.halo_lo[1], _ALIGN)
+      mhi = self.plan.halo_hi[1]
+      mt = _pad_to(max(mid_tile, mlo, mhi + 1), _ALIGN)
+      m_pad = _pad_to(m, mt)
+      ext = _pad_to(mt + mlo + mhi, _ALIGN)
+      if ext >= m_pad or mt >= m_pad:
+        mt = m_pad = _pad_to(m, _ALIGN)
+        ext = m_pad
+        self.grid_m = 1
+      else:
+        self.grid_m = m_pad // mt
+      self.mid_tile, self.mid_ext = mt, ext
+      self.mid_lo, self.mid_hi = mlo, mhi
+      self.m_pad = m_pad
+      self.rest_pad = (m_pad, self.rest_pad[-1])
+
+    est_shape = self.shape if self.mid_tile is None else (
+        self.shape[0], self.mid_ext, self.shape[2])
+    b = block_rows or choose_block_rows(self.plan, est_shape,
                                         stage_mode=self.stage_mode)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
@@ -251,7 +294,7 @@ class PallasExecutor:
       # OOM with an inscrutable error. Callers that pass an explicit
       # block_rows override the estimate (it is deliberately
       # conservative; the bench's compile-probe relies on this).
-      est = estimate_vmem(self.plan, self.shape, self.block_rows,
+      est = estimate_vmem(self.plan, est_shape, self.block_rows,
                           self.stage_mode)
       if est > _VMEM_BUDGET and self.block_rows > 8:
         raise utils.InputError(
@@ -259,8 +302,8 @@ class PallasExecutor:
             'budget; shrink the cross-section (mid tiling / sharding) '
             'or pass block_rows explicitly' %
             (est / 2**20, _VMEM_BUDGET / 2**20))
-      if estimate_vmem(self.plan, self.shape, 8, self.stage_mode) > \
-          _VMEM_BUDGET:
+      if estimate_vmem(self.plan, est_shape, 8, self.stage_mode) > \
+          _VMEM_LIMIT:
         raise utils.InputError(
             'cross-section too large for the fused Pallas kernel even '
             'at the minimum block size; use the mid-tiled or XLA '
@@ -277,38 +320,63 @@ class PallasExecutor:
     stencil = self.stencil
     plan = self.plan
     dim = plan.dim
-    rest = self.rest_pad
+    pad_rest = self.rest_pad
     h = self.h_pad
-    pad_shape = (h,) + rest
+    pad_shape = (h,) + pad_rest
     b, s, lo = self.block_rows, self.slab, self.lo
+    mid_blocked = self.mid_tile is not None
+    if mid_blocked:
+      mt, ext_m, lo_m, m_pad = (self.mid_tile, self.mid_ext,
+                                self.mid_lo, self.m_pad)
+      rest = (ext_m,) + pad_rest[1:]  # slab cross-section
+      out_block = (b, mt, pad_rest[-1])
+    else:
+      mt = ext_m = lo_m = m_pad = None
+      rest = pad_rest
+      out_block = (b,) + pad_rest
     n_in = len(stencil.input_names)
     n_par = len(stencil.param_names)
     n_out = len(stencil.output_names)
     input_types = {
         name: stencil.symbol_table[name] for name in stencil.input_names
     }
-    single = self.grid == 1
+    single = self.grid * self.grid_m == 1
     interpret = self.interpret
 
     n_blocks = self.grid
-    # static slab base per block class: the host-side padding of h to a
-    # multiple of b makes these compile-time constants, so output
-    # stores are static slices (no dynamic rotate — see slab_start)
-    def static_start(step: int) -> int:
-      return min(max(step * b - lo, 0), h - s)
 
-    base_first = 0 - static_start(0)
-    base_mid = b - static_start(1) if n_blocks > 1 else lo
-    base_tail = ((n_blocks - 1) * b - static_start(n_blocks - 1)
-                 if n_blocks > 1 else 0)
-    # construction invariants (the deadlock-freedom analog of the
-    # reference's verify_mode_depths, dataflow.py:43-92): every block
-    # class that can occur reads a fully in-slab window
-    if n_blocks > 1:
-      live = [base_first, base_tail] + \
-          ([base_mid] if n_blocks > 2 else [])
-      for base in live:
-        assert 0 <= base and base + b <= s, (base, b, s, lo, self.hi)
+    def axis_classes(nb: int, blk: int, lo_: int, size_: int, ext_: int):
+      """Static slab base per block class of one blocked axis: the
+      host-side padding of the extent to a block multiple makes these
+      compile-time constants, so output stores are static slices."""
+
+      def start(step: int) -> int:
+        return min(max(step * blk - lo_, 0), size_ - ext_)
+
+      if nb == 1:
+        classes = [('all', 0 - start(0))]
+      else:
+        classes = [('first', 0 - start(0))]
+        if nb > 2:
+          classes.append(('mid', blk - start(1)))
+        classes.append(('tail', (nb - 1) * blk - start(nb - 1)))
+        if len({base for _, base in classes}) == 1:
+          classes = [('all', classes[0][1])]
+      # construction invariants (the deadlock-freedom analog of the
+      # reference's verify_mode_depths, dataflow.py:43-92): every block
+      # class that can occur writes from a fully in-slab window
+      for _, base in classes:
+        assert 0 <= base and base + blk <= ext_, (base, blk, ext_, lo_)
+      return classes
+
+    stream_classes = axis_classes(self.grid, b, lo, h, s)
+    mid_classes = (axis_classes(self.grid_m, mt, lo_m, m_pad, ext_m)
+                   if mid_blocked else [(None, None)])
+    # legacy stream-class bases for the vmem-mode store path
+    base_of = dict(stream_classes)
+    base_first = base_of.get('first', base_of.get('all', 0))
+    base_mid = base_of.get('mid', base_of.get('all', base_first))
+    base_tail = base_of.get('tail', base_of.get('all', base_first))
 
     # Valid slab-coordinate margins per tensor, per array axis: a stage
     # cell is computable where every load hits a written / in-slab cell
@@ -380,21 +448,36 @@ class PallasExecutor:
           for name in stage_names if name in slot_of
       }
 
-      i = pl.program_id(0)
-      n = pl.num_programs(0)
+      if mid_blocked:
+        jm = pl.program_id(0)
+        i = pl.program_id(1)
+        n_m = pl.num_programs(0)
+        n = pl.num_programs(1)
+        step = jm * n + i
+        total = n_m * n
+      else:
+        jm = 0
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        step = i
+        total = n
 
-      def slab_start(grid_step):
+      def axis_start(p, blk, lo_, size_, ext_):
         # all quantities are multiples of the sublane tile; the //*
         # makes that provable for Mosaic
-        start = jnp.clip(grid_step * b - lo, 0, h - s)
+        start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
         return (start // _ALIGN) * _ALIGN
 
-      def in_copy(k, grid_step, slot):
-        return pltpu.make_async_copy(
-            in_refs[k].at[pl.ds(slab_start(grid_step), s)],
-            slabs[k].at[slot],
-            in_sems[k].at[slot],
-        )
+      def in_copy(k, step_i, step_j, slot):
+        src = in_refs[k]
+        if mid_blocked:
+          src = src.at[pl.ds(axis_start(step_i, b, lo, h, s), s),
+                       pl.ds(axis_start(step_j, mt, lo_m, m_pad, ext_m),
+                             ext_m)]
+        else:
+          src = src.at[pl.ds(axis_start(step_i, b, lo, h, s), s)]
+        return pltpu.make_async_copy(src, slabs[k].at[slot],
+                                     in_sems[k].at[slot])
 
       if single:
         # full copies: no ref slicing, so no alignment concerns
@@ -406,19 +489,27 @@ class PallasExecutor:
                                 in_sems[k].at[0]).wait()
         slot = 0
       else:
-        @pl.when(i == 0)
+        # look-ahead order: streaming blocks first within a mid tile,
+        # then the next mid tile (row-major over the grid)
+        if mid_blocked:
+          nxt_i = jnp.where(i + 1 < n, i + 1, 0)
+          nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
+        else:
+          nxt_i, nxt_j = i + 1, 0
+
+        @pl.when(step == 0)
         def _():
           for k in range(n_in):
-            in_copy(k, i, 0).start()
+            in_copy(k, i, jm, 0).start()
 
-        @pl.when(i + 1 < n)
+        @pl.when(step + 1 < total)
         def _():
           for k in range(n_in):
-            in_copy(k, i + 1, (i + 1) % 2).start()
+            in_copy(k, nxt_i, nxt_j, (step + 1) % 2).start()
 
-        slot = i % 2
+        slot = step % 2
         for k in range(n_in):
-          in_copy(k, i, slot).wait()
+          in_copy(k, i, jm, slot).wait()
 
       def parent_ref(name):
         if name in stage_refs:
@@ -509,21 +600,27 @@ class PallasExecutor:
           stage_refs[stage.name][region] = semantics.wrap(
               jnp, value, stage.dtype)
 
-      def store_value(k, name, base, blk):
-        """Store the valid rows of an output stage value into the
-        output block whose slab row base is ``base`` (static)."""
+      def store_value(k, name, bases):
+        """Store the valid region of an output stage value into the
+        output block; ``bases`` maps blocked axis -> (static slab base,
+        block extent). Unblocked axes store their whole interior."""
         val = stage_vals[name]
         store_dt = stencil.symbol_table[name].np_dtype
         m = slab_margins[name]
-        jlo = max(0, m[0][0] - base)
-        jhi = min(blk, s - m[0][1] - base)  # single mode: s == h
-        if jlo >= jhi:
-          return  # whole block is globally-invalid border
-        out_idx = [slice(jlo, jhi)]
-        val_idx = [slice(base - m[0][0] + jlo, base - m[0][0] + jhi)]
-        for a in range(1, dim):
-          out_idx.append(slice(m[a][0], size[a] - m[a][1]))
-          val_idx.append(slice(None))
+        out_idx, val_idx = [], []
+        for a in range(dim):
+          if a in bases:
+            base, blk = bases[a]
+            jlo = max(0, m[a][0] - base)
+            jhi = min(blk, size[a] - m[a][1] - base)
+            if jlo >= jhi:
+              return  # whole block is globally-invalid border
+            out_idx.append(slice(jlo, jhi))
+            v0 = base - m[a][0] + jlo
+            val_idx.append(slice(v0, v0 + (jhi - jlo)))
+          else:
+            out_idx.append(slice(m[a][0], size[a] - m[a][1]))
+            val_idx.append(slice(None))
         val = val[tuple(val_idx)]
         if val.dtype != store_dt:
           # promoted-width integer value -> storage width; exact: the
@@ -531,26 +628,37 @@ class PallasExecutor:
           val = val.astype(store_dt)
         out_refs[k][tuple(out_idx)] = val
 
+      def class_cond(kind, p, nb):
+        if kind in (None, 'all'):
+          return None
+        if kind == 'first':
+          return p == 0
+        if kind == 'mid':
+          return jnp.logical_and(p > 0, p < nb - 1)
+        return p == nb - 1  # tail
+
       for k, name in enumerate(stencil.output_names):
         if value_mode:
-          if single:
-            store_value(k, name, 0, h)
-            continue
-          if base_first == base_mid == base_tail:
-            store_value(k, name, base_mid, b)
-            continue
+          for cs_kind, cs_base in stream_classes:
+            for cm_kind, cm_base in mid_classes:
+              bases = {0: (cs_base, b)}
+              if mid_blocked:
+                bases[1] = (cm_base, mt)
+              conds = [
+                  c for c in (class_cond(cs_kind, i, n),
+                              class_cond(cm_kind, jm, self.grid_m))
+                  if c is not None
+              ]
+              if not conds:
+                store_value(k, name, bases)
+                continue
+              cond = conds[0]
+              for extra in conds[1:]:
+                cond = jnp.logical_and(cond, extra)
 
-          @pl.when(i == 0)
-          def _(k=k, name=name):
-            store_value(k, name, base_first, b)
-
-          @pl.when(jnp.logical_and(i > 0, i < n - 1))
-          def _(k=k, name=name):
-            store_value(k, name, base_mid, b)
-
-          @pl.when(jnp.logical_and(i == n - 1, n > 1))
-          def _(k=k, name=name):
-            store_value(k, name, base_tail, b)
+              @pl.when(cond)
+              def _(k=k, name=name, bases=bases):
+                store_value(k, name, bases)
           continue
         src = stage_refs[name]
         if single:
@@ -574,17 +682,22 @@ class PallasExecutor:
         def _(k=k, src=src):
           out_refs[k][:] = src[base_tail:base_tail + b]
 
-    grid = (self.grid,)
+    grid = ((self.grid_m, self.grid) if mid_blocked else (self.grid,))
     # inputs pinned to HBM and DMA'd manually (blocked specs cannot
     # express overlapping halo windows)
     hbm = pl.ANY if interpret else pltpu.HBM
     in_specs = [pl.BlockSpec(memory_space=hbm)] * n_in
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_par
-    if single:
+    if mid_blocked:
+      out_specs = [
+          pl.BlockSpec(out_block, lambda j_, i_: (i_, j_, 0),
+                       memory_space=pltpu.VMEM)
+      ] * n_out
+    elif single:
       out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out
     else:
       out_specs = [
-          pl.BlockSpec((b,) + rest, lambda i: (i,) + (0,) * (dim - 1),
+          pl.BlockSpec(out_block, lambda i: (i,) + (0,) * (dim - 1),
                        memory_space=pltpu.VMEM)
       ] * n_out
     out_shape = [
@@ -611,7 +724,7 @@ class PallasExecutor:
         out_shape=out_shape if n_out > 1 else out_shape[0],
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',),
+            dimension_semantics=('arbitrary',) * len(grid),
         ),
         interpret=interpret,
     )
@@ -668,85 +781,39 @@ class PallasExecutor:
     return dict(zip(self.stencil.output_names, outs))
 
 
-class MidTiledPallasExecutor:
+class MidTiledPallasExecutor(PallasExecutor):
   """Fused Pallas kernel over mid-dimension tiles (3-D grids whose
   cross-section exceeds the VMEM slab budget).
 
-  The mid axis (array axis 1) is split into halo-overlapped tiles —
-  the in-JAX analog of the reference host's halo-overlapped spatial
-  tiling (host.py:641-701) — and every tile runs the SAME compiled
-  fused kernel; outputs are concatenated. Extra HBM traffic is only
-  the duplicated mid halos (halo/tile fraction).
+  The mid axis (array axis 1) joins the Pallas grid as halo-overlapped
+  sub-slabs — the in-grid analog of the reference host's
+  halo-overlapped spatial tiling (host.py:641-701). Tiles pipeline
+  through the same double-buffered DMA as streaming blocks (round-1
+  ran them as a serialized Python loop of kernel calls); extra HBM
+  traffic is only the duplicated mid halos (halo/tile fraction).
   """
 
   def __init__(self, stencil, shape: Tuple[int, ...],
                mid_tile: Optional[int] = None, **kwargs):
-    import jax
-    import jax.numpy as jnp
-    self.stencil = stencil
-    self.shape = tuple(shape)
-    self.plan = make_plan(stencil, 'full')
-    dim = self.plan.dim
-    if dim != 3:
+    if len(shape) != 3:
       raise utils.InputError('mid tiling applies to 3-D grids only')
-    h, m, w_ = self.shape
-    # mid-axis halo: DSL dim 1 <-> array axis 1
-    mlo = self.plan.halo_lo[1]
-    mhi = self.plan.halo_hi[1]
     if mid_tile is None:
+      plan = make_plan(stencil, 'full')
+      h, m, w_ = shape
+      mlo = _pad_to(plan.halo_lo[1], _ALIGN)
+      mhi = plan.halo_hi[1]
       mid_tile = m
       while mid_tile > 8:
-        ext = min(m, mid_tile + mlo + mhi)
-        if estimate_vmem(self.plan, (h, ext, w_), 8) <= _VMEM_BUDGET:
+        ext = min(m, _pad_to(mid_tile + mlo + mhi, _ALIGN))
+        if estimate_vmem(plan, (h, ext, w_), 8, 'value') <= _VMEM_BUDGET:
           break
         mid_tile //= 2
-    mid_tile = max(8, _pad_to(min(mid_tile, m), _ALIGN))
-    self.mid_tile = mid_tile
-    ext = min(m, mid_tile + mlo + mhi)
-    if mlo >= mid_tile or mhi >= mid_tile:
-      raise utils.InputError('mid halo (%d, %d) exceeds tile %d' %
-                             (mlo, mhi, mid_tile))
-    inner = PallasExecutor(stencil, (h, ext, w_), **kwargs)
-    self.inner = inner
-    self.block_rows = inner.block_rows
-    self.grid = inner.grid
-    self.interpret = inner.interpret
-    n_tiles = -(-m // mid_tile)
-    self.n_tiles = n_tiles
-    n_in = len(stencil.input_names)
-
-    def fn(*arrays):
-      ins = arrays[:n_in]
-      pars = arrays[n_in:]
-      tiles = []
-      for j in range(n_tiles):
-        start = min(max(j * mid_tile - mlo, 0), m - ext)
-        sub = tuple(a[:, start:start + ext, :] for a in ins)
-        outs = inner._fn(*sub, *pars)
-        local = j * mid_tile - start
-        take = min(mid_tile, m - j * mid_tile)
-        tiles.append(tuple(o[:, local:local + take, :] for o in outs))
-      return tuple(
-          jnp.concatenate([t[k] for t in tiles], axis=1)
-          for k in range(len(stencil.output_names)))
-
-    self._fn = jax.jit(fn)
-
-  def prepare(self, inputs: Mapping[str, np.ndarray],
-              params: Optional[Mapping[str, np.ndarray]] = None):
-    return _prepare_args(self, inputs, params)
+      mid_tile = max(8, mid_tile)
+    super().__init__(stencil, shape, mid_tile=mid_tile, **kwargs)
 
   @property
-  def fn(self):
-    """Jitted positional callable: fn(*inputs, *params) -> (outputs...)."""
-    return self._fn
-
-  def __call__(self,
-               inputs: Mapping[str, np.ndarray],
-               params: Optional[Mapping[str, np.ndarray]] = None
-               ) -> Dict[str, np.ndarray]:
-    outs = self._fn(*self.prepare(inputs, params))
-    return dict(zip(self.stencil.output_names, outs))
+  def n_tiles(self) -> int:
+    return self.grid_m
 
 
 def _prepare_args(executor, inputs: Mapping[str, np.ndarray],

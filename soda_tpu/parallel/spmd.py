@@ -16,6 +16,9 @@ for diagonal stencil taps.
 Devices at the global boundary receive zero halos (ppermute's
 non-participating edge), which lands only in the globally-invalid
 border region — identical semantics to the single-chip executors.
+Extents that do not divide the mesh are padded to a shard multiple and
+cropped back; ``border: preserve`` is applied inside the shard_map with
+the TRUE global boundary derived from each shard's mesh position.
 """
 
 from __future__ import annotations
@@ -65,17 +68,22 @@ class ShardedExecutor:
           len(axes))
     self.mesh = mesh
 
-    # per sharded array axis: mesh extent, local extent, halo widths
+    # per sharded array axis: mesh extent, local extent, halo widths.
+    # Indivisible extents are padded up to a shard multiple (the analog
+    # of the reference host's aligned tile sizes, host.py:641-701) and
+    # outputs cropped back; padding lands beyond the original grid so
+    # valid cells never read it.
     mesh_shape = dict(zip(axes, mesh.devices.shape))
-    local = list(self.shape)
+    padded = list(self.shape)
     halos = []
     for a, axis_name in enumerate(axes):
       n_dev = mesh_shape[axis_name]
-      if self.shape[a] % n_dev:
-        raise utils.InputError(
-            'axis %d extent %d not divisible by mesh axis %r (%d)' %
-            (a, self.shape[a], axis_name, n_dev))
-      local[a] = self.shape[a] // n_dev
+      padded[a] += (-self.shape[a]) % n_dev
+    self.padded_shape = tuple(padded)
+    local = list(self.padded_shape)
+    for a, axis_name in enumerate(axes):
+      n_dev = mesh_shape[axis_name]
+      local[a] = self.padded_shape[a] // n_dev
       d = dim - 1 - a
       lo, hi = self.plan.halo_lo[d], self.plan.halo_hi[d]
       if (lo or hi) and (lo >= local[a] or hi >= local[a]):
@@ -131,9 +139,33 @@ class ShardedExecutor:
         return array
       return jnp.concatenate(parts, axis=axis_idx)
 
+    from soda_tpu.backend.plan import materialized_margins
+    out_margins = materialized_margins(stencil)
+    real_shape = self.shape
+    n_outputs = len(output_names)
+
+    def valid_mask(name):
+      """Boolean mask of this shard's cells inside the GLOBAL valid
+      region of output ``name`` (border: preserve under sharding needs
+      the global boundary, not the shard's; the shard's global offset
+      comes from its mesh position)."""
+      m_lo, m_hi = out_margins[name]
+      mask = None
+      for a in range(dim):
+        d = dim - 1 - a
+        lo_a, hi_a = m_lo[d], m_hi[d]
+        base = 0
+        if a < len(axes):
+          base = lax.axis_index(axes[a]) * local[a]
+        pos = base + lax.broadcasted_iota(jnp.int32, tuple(local), a)
+        ok = jnp.logical_and(pos >= lo_a, pos < real_shape[a] - hi_a)
+        mask = ok if mask is None else jnp.logical_and(mask, ok)
+      return mask
+
     def step(*local_arrays):
+      locals_in = dict(zip(input_names, local_arrays[:len(input_names)]))
       arrays = {}
-      for name, arr in zip(input_names, local_arrays[:len(input_names)]):
+      for name, arr in locals_in.items():
         for axis_idx in range(len(axes)):
           arr = exchange(name, arr, axis_idx)
         arrays[name] = arr
@@ -142,7 +174,21 @@ class ShardedExecutor:
       crops = tuple(
           slice(halos[a][0], halos[a][0] + local[a]) if a < len(axes)
           else slice(None) for a in range(dim))
-      return tuple(outs[name][crops] for name in output_names)
+      results = []
+      for k, name in enumerate(output_names):
+        out = outs[name][crops]
+        if stencil_ref.preserve_border:
+          # border: preserve — cells outside the global valid region
+          # carry the paired input (reference untiling keeps borders,
+          # host.py:846-950); the inner executors' own per-shard
+          # fix-up is insufficient at shard seams, so it is redone
+          # here with the true global boundary
+          paired = k if len(input_names) == n_outputs else 0
+          base = semantics.wrap(jnp, locals_in[input_names[paired]],
+                                stencil_ref.symbol_table[name])
+          out = jnp.where(valid_mask(name), out, base)
+        results.append(out)
+      return tuple(results)
 
     shard_spec = P(*axes)
     in_specs = tuple([shard_spec] * len(input_names) +
@@ -160,16 +206,24 @@ class ShardedExecutor:
     return self._fn
 
   def prepare(self, inputs: Mapping, params: Optional[Mapping] = None):
-    """Wrap + device-put arguments in positional order."""
+    """Wrap, pad to shard multiples, and device-put (positional)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     jnp = self._jnp
     stencil = self.stencil
     axes = tuple(self.mesh.axis_names)
+    pads = tuple(
+        (0, p - r) for p, r in zip(self.padded_shape, self.shape))
+    needs_pad = self.padded_shape != self.shape
     args = []
     for name in stencil.input_names:
-      arr = semantics.wrap(jnp, jnp.asarray(inputs[name]),
-                           stencil.symbol_table[name])
+      arr = jnp.asarray(inputs[name])
+      if arr.shape != self.shape:
+        raise utils.InputError('input %s shape %s != global shape %s' %
+                               (name, arr.shape, self.shape))
+      if needs_pad:
+        arr = jnp.pad(arr, pads)
+      arr = semantics.wrap(jnp, arr, stencil.symbol_table[name])
       args.append(
           jax.device_put(arr, NamedSharding(self.mesh, P(*axes))))
     params = dict(params or {})
@@ -182,4 +236,7 @@ class ShardedExecutor:
   def __call__(self, inputs: Mapping, params: Optional[Mapping] = None
                ) -> Dict[str, np.ndarray]:
     outs = self._fn(*self.prepare(inputs, params))
+    if self.padded_shape != self.shape:
+      crop = tuple(slice(0, r) for r in self.shape)
+      outs = tuple(o[crop] for o in outs)
     return dict(zip(self.stencil.output_names, outs))

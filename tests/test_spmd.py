@@ -50,10 +50,38 @@ def test_sharded_pallas_inner():
   check_sharded('jacobi2d', (64, 32), inner='pallas')
 
 
-def test_indivisible_extent_rejected():
-  stencil = corpus.build('blur')
-  with pytest.raises(Exception):
-    ShardedExecutor(stencil, (81, 64))
+def test_indivisible_extent_pads_and_crops():
+  # 81 rows over 8 devices: padded to 88 on device, cropped back
+  # (the analog of the reference host's aligned tile sizes)
+  check_sharded('jacobi2d', (81, 64))
+  check_sharded('blur', (73, 64))
+
+
+def test_indivisible_2d_mesh():
+  check_sharded('jacobi2d', (67, 61), mesh=_mesh_2d(4, 2))
+
+
+def test_sharded_preserve_border():
+  """border: preserve under sharding must use the GLOBAL boundary:
+  shard-seam cells are interior and must carry computed values."""
+  stencil = corpus.build('jacobi2d', border='preserve')
+  shape = (64, 32)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  for inner in ('xla', 'pallas'):
+    got = ShardedExecutor(stencil, shape, inner=inner)(inputs)
+    # preserve defines every cell, including the border
+    assert_close_reference(np.asarray(got['t0']), want['t0'], True,
+                           'preserve:%s' % inner)
+
+
+def test_sharded_preserve_border_2d_mesh_int():
+  stencil = corpus.build('blur', border='preserve')
+  shape = (72, 64)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ShardedExecutor(stencil, shape, mesh=_mesh_2d(2, 4))(inputs)
+  assert np.array_equal(np.asarray(got['blur_y']), want['blur_y'])
 
 
 def _mesh_2d(rows, cols):
