@@ -46,11 +46,11 @@ def peak_bandwidth(device) -> float:
   return 819.0  # conservative default
 
 
-# headline kernels: (corpus name, shape, tile override). 3-D shapes keep
-# the cross-section VMEM-friendly (mid-dim blocking is streaming-only
-# for now). erosion runs with computation reuse on — the DAC'20
-# optimization this framework rebuilds — turning its 2x19-tap min into
-# log-depth chains.
+# the FULL 11-kernel corpus (the reference re-runs all 11 per knob,
+# tests/test-cluster.sh:5-66). Kernels with reuse-friendly reductions
+# run with computation reuse on — the DAC'20 optimization this
+# framework rebuilds ('yes' dispatches the native C++ scheduler when
+# native/build/soda-tpu-cr exists, exactly like the reference).
 CONFIGS = (
     ('blur', (8192, 2048), {'tile_size': (2048, 0)}),
     ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)}),
@@ -63,6 +63,15 @@ CONFIGS = (
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}}),
+    ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)}),
+    ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
+                             'optimizations': {'computation-reuse':
+                                               'greedy'}}),
+    ('contrast', (8192, 2048), {'tile_size': (2048, 0),
+                                'optimizations': {'computation-reuse':
+                                                  'yes'}}),
+    ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)}),
+    ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
 )
 
 
@@ -259,13 +268,16 @@ def main():
     log('WARNING: not on TPU; Pallas runs interpreted; numbers are '
         'not meaningful')
 
+  # the XLA whole-grid comparison roughly doubles wall time; with all
+  # 11 kernels in the sweep it is opt-in (BENCH_XLA=1)
+  compare_xla = __import__('os').environ.get('BENCH_XLA') == '1'
   fracs = []
   details = {}
   for name, shape, overrides in CONFIGS:
     for attempt in (1, 2):  # remote compile servers are occasionally flaky
       try:
-        frac, gbps, cps, dt, speedup = bench_kernel(name, shape,
-                                                    overrides, peak)
+        frac, gbps, cps, dt, speedup = bench_kernel(
+            name, shape, overrides, peak, compare_xla=compare_xla)
         fracs.append(frac)
         details[name] = {'roofline_frac': round(frac, 4),
                          'gbps': round(gbps, 1),

@@ -54,6 +54,17 @@ _VMEM_LIMIT = 16 * 1024 * 1024
 _ALIGN = 8
 
 
+def _axis0_align(dim: int) -> int:
+  """Alignment unit for streaming-axis (array axis 0) DMA offsets.
+
+  Mosaic's 8-alignment rules (dynamic offsets and slice shapes) apply
+  to the SUBLANE dimension — array axis 0 only for 2-D grids. For 3-D
+  grids axis 0 is a plain plane stride, so 1-cell halos need no
+  padding to 8 (which would otherwise triple the read amplification of
+  small blocks)."""
+  return _ALIGN if dim <= 2 else 1
+
+
 def _pad_to(x: int, m: int) -> int:
   return (x + m - 1) // m * m
 
@@ -118,10 +129,11 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   double-buffered input slabs + per-stage scratch + fold temporaries +
   Pallas's double-buffered output blocks."""
   dim = plan.dim
-  lo = _pad_to(plan.halo_lo[dim - 1], _ALIGN)
+  a0 = _axis0_align(dim)
+  lo = _pad_to(plan.halo_lo[dim - 1], a0)
   hi = plan.halo_hi[dim - 1]
   rest = shape[1:]
-  s = _pad_to(block_rows + lo + hi, _ALIGN)
+  s = _pad_to(block_rows + lo + hi, a0)
   total = 0
   for name in plan.stencil.input_names:
     esize = plan.stencil.symbol_table[name].width_in_bytes
@@ -225,7 +237,8 @@ class PallasExecutor:
     dim = self.plan.dim
     # halo below is rounded to the sublane tile so interior slab starts
     # (i*b - lo) stay tile-aligned for the DMA engine
-    self.lo = _pad_to(self.plan.halo_lo[dim - 1], _ALIGN)
+    self.align0 = _axis0_align(dim)
+    self.lo = _pad_to(self.plan.halo_lo[dim - 1], self.align0)
     self.hi = self.plan.halo_hi[dim - 1]
     h = self.shape[0]
     # Mosaic DMA slices require tile-aligned shapes: lane dim to 128,
@@ -273,14 +286,14 @@ class PallasExecutor:
                                         stage_mode=self.stage_mode)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
-    b = _pad_to(max(b, self.lo, self.hi + 1), _ALIGN)
+    b = _pad_to(max(b, self.lo, self.hi + 1), self.align0)
     # padding the streaming extent to a block multiple makes every
     # block's slab offset static (first / interior / tail)
     self.h_pad = _pad_to(h, b)
-    slab = _pad_to(b + self.lo + self.hi, _ALIGN)
+    slab = _pad_to(b + self.lo + self.hi, self.align0)
     if slab >= self.h_pad or b >= self.h_pad:
       # tiny grid: single block covering everything
-      b = self.h_pad = _pad_to(h, _ALIGN)
+      b = self.h_pad = _pad_to(h, self.align0)
       self.slab = self.h_pad
       self.grid = 1
     else:
@@ -462,20 +475,22 @@ class PallasExecutor:
         step = i
         total = n
 
-      def axis_start(p, blk, lo_, size_, ext_):
-        # all quantities are multiples of the sublane tile; the //*
-        # makes that provable for Mosaic
+      def axis_start(p, blk, lo_, size_, ext_, align):
         start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
-        return (start // _ALIGN) * _ALIGN
+        if align > 1:
+          # sublane-axis DMA offsets must be provably tile-aligned;
+          # all quantities are multiples of align, the //* proves it
+          start = (start // align) * align
+        return start
 
       def in_copy(k, step_i, step_j, slot):
         src = in_refs[k]
+        ss = axis_start(step_i, b, lo, h, s, self.align0)
         if mid_blocked:
-          src = src.at[pl.ds(axis_start(step_i, b, lo, h, s), s),
-                       pl.ds(axis_start(step_j, mt, lo_m, m_pad, ext_m),
-                             ext_m)]
+          sm = axis_start(step_j, mt, lo_m, m_pad, ext_m, _ALIGN)
+          src = src.at[pl.ds(ss, s), pl.ds(sm, ext_m)]
         else:
-          src = src.at[pl.ds(axis_start(step_i, b, lo, h, s), s)]
+          src = src.at[pl.ds(ss, s)]
         return pltpu.make_async_copy(src, slabs[k].at[slot],
                                      in_sems[k].at[slot])
 

@@ -29,14 +29,36 @@ from soda_tpu.ir import nodes as ir
 
 # (substring of device_kind, HBM GB/s, VPU f32 GFLOP/s)
 DEVICE_TABLE = (
-    ('v5 lite', 819.0, 3_200.0),
-    ('v5e', 819.0, 3_200.0),
+    ('v5 lite', 819.0, 3_850.0),
+    ('v5e', 819.0, 3_850.0),
     ('v5p', 2_765.0, 11_500.0),
     ('v4', 1_228.0, 4_300.0),
     ('v6 lite', 1_640.0, 7_300.0),
     ('v6e', 1_640.0, 7_300.0),
 )
-DEFAULT_DEVICE = ('generic-tpu', 819.0, 3_200.0)
+DEFAULT_DEVICE = ('generic-tpu', 819.0, 3_850.0)
+
+# The shifted-load tax, in equivalent 32-bit element-ops (units of
+# 1/peak_vpu), calibrated on v5e (experiments/exp4_erosion.py chain
+# kernels give the latency-bound upper end: aligned-sublane ~3,
+# misaligned ~5, wide-lane ~6.5; end-to-end tree-shaped kernels
+# schedule better, so the model uses throughput-side values and
+# PARITY.md quotes the per-kernel fit residuals). 3-D grids index the
+# streaming axis outside the vector register, so streaming shifts
+# there are address arithmetic (free); their sublane axis is the mid
+# axis. 'rotate' rows are the narrow-lane (<=256) in-register mode.
+SHIFT_COST = {
+    'slice': {'free': 0.0, 'sublane_aligned': 3.0, 'sublane': 4.5,
+              'lane': 4.5},
+    'rotate': {'free': 0.0, 'sublane_aligned': 1.0, 'sublane': 1.5,
+               'lane': 1.5},
+}
+# per-element costs of non-trivial arithmetic (same units); div is the
+# proven-exact f32 path (convert, divide, convert back)
+OP_COST = {'add': 1.0, 'mul': 1.0, 'minmax': 1.0, 'other': 1.0,
+           'div': 3.0, 'transcendental': 8.0}
+# stage boundary: result wrap/copy into its live value/slab
+STAGE_COST = 1.0
 
 
 def device_params(device=None) -> Tuple[str, float, float]:
@@ -76,6 +98,83 @@ def count_ops(stencil) -> Dict[str, float]:
   return counts
 
 
+def _stage_op_counts(tensor) -> Dict[str, float]:
+  """Arithmetic op counts of one stage's expression."""
+  counts = {'add': 0, 'mul': 0, 'div': 0, 'minmax': 0,
+            'transcendental': 0, 'other': 0}
+
+  def visit(node, _):
+    if isinstance(node, ir.AddSub):
+      counts['add'] += len(node.operator)
+    elif isinstance(node, ir.MulDiv):
+      for op in node.operator:
+        counts['mul' if op == '*' else 'div'] += 1
+    elif isinstance(node, ir.Call):
+      if node.name in ('min', 'max'):
+        counts['minmax'] += len(node.operand) - 1
+      elif node.name in ('select', 'abs'):
+        counts['other'] += 1
+      else:
+        counts['transcendental'] += 1
+    return node
+
+  for let in tensor.lets:
+    let.visit(visit)
+  tensor.expr.visit(visit)
+  return counts
+
+
+def op_model(stencil, plan, lanes: Optional[int] = None
+             ) -> Dict[str, float]:
+  """Measured VPU op model over the POST-unroll stage schedule.
+
+  Sums, per output cell, the arithmetic ops of every stage (iterate
+  sweeps and CR variables included) plus the measured shifted-load tax
+  of every distinct (parent, offset) access — the quantity the round-1
+  model missed (VERDICT.md "What's weak" #1). Units: equivalent 32-bit
+  element-ops; divide by the device's peak VPU rate for a time bound.
+  """
+  dim = plan.dim
+  mode = 'rotate' if lanes is not None and lanes <= 256 else 'slice'
+  costs = SHIFT_COST[mode]
+  slots = 0.0
+  arith = {'add': 0.0, 'mul': 0.0, 'div': 0.0, 'minmax': 0.0,
+           'transcendental': 0.0, 'other': 0.0}
+  shifts = {'free': 0, 'sublane_aligned': 0, 'sublane': 0, 'lane': 0}
+  for stage in plan.stages:
+    counts = _stage_op_counts(stage.tensor)
+    for key, cnt in counts.items():
+      arith[key] += cnt
+    st_idx = stage.tensor.st_idx
+    seen = set()
+    for parent, refs in stage.tensor.ld_refs.items():
+      if parent in stencil.param_names:
+        continue
+      for ref in refs:
+        delta = tuple(r - s for r, s in zip(ref.idx, st_idx))
+        if (parent, delta) in seen:
+          continue
+        seen.add((parent, delta))
+        # DSL dim d <-> array axis dim-1-d; lanes = DSL dim 0,
+        # sublanes = DSL dim 1, majors free
+        if delta[0]:
+          shifts['lane'] += 1
+        if dim >= 2 and delta[1]:
+          if delta[1] % 8 == 0:
+            shifts['sublane_aligned'] += 1
+          else:
+            shifts['sublane'] += 1
+        if dim >= 3 and any(delta[2:]):
+          shifts['free'] += 1
+    slots += STAGE_COST
+  for key, cnt in arith.items():
+    slots += OP_COST[key] * cnt
+  for key, cnt in shifts.items():
+    slots += costs[key] * cnt
+  return {'slots_per_cell': slots, 'arith': arith, 'shifts': shifts,
+          'lane_mode': mode}
+
+
 def estimate(stencil, shape: Tuple[int, ...],
              device=None) -> Dict[str, object]:
   plan = make_plan(stencil, 'full')
@@ -91,7 +190,8 @@ def estimate(stencil, shape: Tuple[int, ...],
   total_flops = flops_per_cell * cells
 
   bw_time = traffic / (bw_gbps * 1e9)
-  compute_time = total_flops / (vpu_gflops * 1e9)
+  model = op_model(stencil, plan, lanes=shape[-1])
+  compute_time = model['slots_per_cell'] * cells / (vpu_gflops * 1e9)
   bound = 'memory' if bw_time >= compute_time else 'compute'
   time_s = max(bw_time, compute_time)
 
@@ -111,6 +211,8 @@ def estimate(stencil, shape: Tuple[int, ...],
       'arithmetic_intensity': total_flops / traffic,
       'ops_per_cell': ops,
       'bound': bound,
+      'op_model': model,
+      'model_roofline_frac': round(min(1.0, bw_time / time_s), 4),
       'ideal_time_s': time_s,
       'ideal_cells_per_s': cells * stencil.iterate / time_s,
       'ideal_effective_gbps': traffic / time_s / 1e9,
