@@ -23,3 +23,9 @@ def get_executor(stencil, shape, backend='auto', **kwargs):
   """Compile a stencil for a grid shape (see soda_tpu.backend)."""
   from soda_tpu.backend import get_executor as _get
   return _get(stencil, shape, backend, **kwargs)
+
+
+def chained(executor, n_steps):
+  """One-dispatch multi-step driver (see soda_tpu.api.chained)."""
+  from soda_tpu import api
+  return api.chained(executor, n_steps)

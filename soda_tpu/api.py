@@ -39,3 +39,47 @@ def build_stencil(source: str, **overrides) -> Stencil:
 def build_stencil_from_file(path: str, **overrides) -> Stencil:
     with open(path) as f:
         return build_stencil(f.read(), **overrides)
+
+
+def chained(executor, n_steps: int):
+    """One-dispatch multi-step driver: apply the stencil ``n_steps``
+    times device-side, feeding outputs back as inputs.
+
+    Works with any executor exposing ``fn`` (Pallas, XLA, grouped,
+    sharded) — under jit, a sharded executor's halo exchanges run once
+    per step over ICI while arrays stay resident and sharded, so a
+    long relaxation pays ONE dispatch instead of one per sweep-batch.
+    Requires a chainable signature: as many outputs as inputs, with
+    matching dtypes (the same precondition as ``iterate > 1``).
+
+    Returns a jitted callable with the executor's positional signature
+    ``(*inputs, *params) -> (outputs...)``; prepare arguments with
+    ``executor.prepare``.
+    """
+    import jax
+    from jax import lax
+
+    from soda_tpu import utils
+
+    stencil = executor.stencil
+    n_in = len(stencil.input_names)
+    if len(stencil.output_names) != n_in or \
+        tuple(stencil.symbol_table[n].np_dtype
+              for n in stencil.input_names) != \
+        tuple(stencil.symbol_table[n].np_dtype
+              for n in stencil.output_names):
+        raise utils.InputError(
+            'chained() needs as many outputs as inputs with matching '
+            'types (as iterate > 1 requires)')
+
+    def run(*args):
+        ins = tuple(args[:n_in])
+        pars = tuple(args[n_in:])
+
+        def body(_, state):
+            outs = executor.fn(*state, *pars)
+            return tuple(outs)
+
+        return lax.fori_loop(0, n_steps, body, ins)
+
+    return jax.jit(run)

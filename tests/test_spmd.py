@@ -106,3 +106,39 @@ def test_2d_mesh_3d_grid():
 
 def test_sharded_inner_auto():
   check_sharded('jacobi2d', (64, 32), inner='auto')
+
+
+def test_chained_multi_step_driver():
+  """soda_tpu.chained: N applications in ONE dispatch, outputs feeding
+  inputs, on both single-chip and sharded executors."""
+  import soda_tpu
+  from soda_tpu.backend import get_executor
+  stencil = corpus.build('jacobi2d')  # iterate=2 per application
+  shape = (64, 32)
+  inputs = reference.make_test_inputs(stencil, shape)
+
+  # oracle: three chained applications
+  want = dict(inputs)
+  for _ in range(3):
+    out = reference.run(stencil, {'t1': want['t1']})
+    want = {'t1': out['t0']}
+
+  for ex in (get_executor(stencil, shape, 'pallas'),
+             ShardedExecutor(stencil, shape)):
+    fn = soda_tpu.chained(ex, 3)
+    (got,) = fn(*ex.prepare(inputs))
+    # after 3 chained runs the garbage border has eaten 3*halo cells
+    lo = 3 * 2
+    region = (slice(lo, shape[0] - lo), slice(lo, shape[1] - lo))
+    np.testing.assert_allclose(np.asarray(got)[region],
+                               want['t1'][region], rtol=1e-4, atol=1e-5)
+
+
+def test_chained_rejects_unchainable():
+  import pytest as _pytest
+  import soda_tpu
+  from soda_tpu import utils
+  stencil = corpus.build('sobel2d')  # int16 in, uint16 out
+  ex = ShardedExecutor(stencil, (64, 32))
+  with _pytest.raises(utils.InputError):
+    soda_tpu.chained(ex, 2)
