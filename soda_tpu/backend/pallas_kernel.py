@@ -7,27 +7,33 @@ dataflow.py:336-625; here the line buffer is a VMEM slab and every FIFO
 is a register/VMEM shift):
 
   - The grid walks the streaming dimension (array axis 0) in blocks of
-    ``block_rows`` rows.
-  - Inputs stay in HBM; a double-buffered async DMA streams slabs of
-    ``block_rows + halo`` rows into VMEM scratch, overlapping the next
-    block's loads with compute — the analog of the reference's burst
-    read pipelining (hls_kernel.py:238-327). DMA starts are rounded
-    down to the sublane tile (Mosaic requires provably aligned
-    streaming-dim offsets); the sub-tile residue is realigned in
-    registers with a dynamic rotate before the blocked output store.
-  - Every stage is evaluated over full slab coordinates with static
-    ``jnp.roll`` shifts standing in for reuse-buffer reads; wrap-around
-    contamination lands only in cells outside the tensor's valid region
-    (same cells the reference leaves undefined under ``border: ignore``).
+    ``block_rows`` rows; 3-D grids may also block the mid axis
+    (halo-overlapped sub-slabs joining the grid — MidTiledPallasExecutor).
+  - Inputs stay in HBM; a double-buffered async DMA streams halo'd
+    slabs into VMEM scratch, prefetching the next grid step's slab
+    during compute — the analog of the reference's burst read
+    pipelining (hls_kernel.py:238-327). Sublane-axis DMA offsets are
+    rounded to the 8-row tile (Mosaic alignment); the streaming axis of
+    3-D grids is a free plane stride and takes exact halos.
+  - Stage results flow as VALUES (``stage_mode='value'``, the default):
+    consumers take static slices of producer values — register shifts,
+    no per-stage VMEM slab round trip — with sub-32-bit integers kept
+    at their C-promoted width end to end (semantics.wrap_promoted;
+    range analysis elides provably-no-op wraps). ``stage_mode='vmem'``
+    keeps the round-1 design: liveness-reused named slabs, useful for
+    very deep CR chains.
+  - Lane-axis shifts either rotate in-register (narrow rows) or slice
+    across lanes (wide rows); rotate wrap-around only contaminates the
+    globally-invalid border columns.
   - ``iterate > 1`` pipelines arrive pre-unrolled in the tensor DAG, so
     temporal blocking comes for free: the input is read from HBM once
     for ALL sweeps (the reference equivalent is the deepened pipeline of
     core.py:320-354).
 
-The streaming extent is padded to a multiple of the sublane tile on the
-host when necessary (outputs are cropped back). Grid-shape contract
-matches the other executors: arrays indexed in reversed DSL-dim order,
-outputs only defined on the valid region.
+Blocked extents are padded to a block multiple on the host when
+necessary (outputs are cropped back). Grid-shape contract matches the
+other executors: arrays indexed in reversed DSL-dim order, outputs only
+defined on the valid region.
 """
 
 from __future__ import annotations
@@ -213,16 +219,33 @@ class PallasExecutor:
       # lane-crossing shifted load wins
       lane_shift = 'rotate' if shape[-1] <= 256 else 'slice'
     self.lane_shift = lane_shift
+    self.plan = make_plan(stencil, 'full')
     if stage_mode == 'auto':
       # value mode keeps stage results flowing through registers /
-      # Mosaic-managed temporaries (no VMEM slab round-trip per stage);
-      # for very deep stage graphs (large CR chains) the named-slab
-      # path with liveness-reused slots bounds VMEM deterministically
+      # Mosaic-managed temporaries (no VMEM slab round-trip per stage)
+      # and is the fast path. Exception, measured on v5e Mosaic
+      # (experiments/exp6_crashes.py): very long arithmetic chains
+      # over shifted VALUE slices (xcorr's un-CR'd 19-tap sums,
+      # contrast's 289-tap table) crash the compiler, while the same
+      # folds over VMEM-slab loads compile — so wide-fold stages take
+      # the named-slab path. (Computation reuse shrinks folds to 2-3
+      # operands, so optimized pipelines stay on the value path.)
       stage_mode = 'value'
+      for stage in self.plan.stages:
+        widest = [0]
+
+        def chain_width(node, _):
+          if isinstance(node, ir.CHAIN_CLASSES):
+            widest[0] = max(widest[0], len(node.operand))
+          return node
+
+        stage.tensor.expr.visit(chain_width)
+        if widest[0] > 12:
+          stage_mode = 'vmem'
+          break
     if stage_mode not in ('value', 'vmem'):
       raise ValueError('stage_mode must be value|vmem|auto')
     self.stage_mode = stage_mode
-    self.plan = make_plan(stencil, 'full')
     if len(self.shape) != self.plan.dim:
       raise utils.InputError('expected %d-D arrays, got %d-D' %
                              (self.plan.dim, len(self.shape)))
