@@ -67,7 +67,10 @@ CONFIGS = (
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}}),
-    ('contrast', (8192, 2048), {'tile_size': (2048, 0),
+    # contrast's 17x17 table keeps ~95 reuse variables live at once
+    # (native CR + absolute CSE); narrower rows keep those value slabs
+    # inside VMEM at the same total cell count
+    ('contrast', (32768, 512), {'tile_size': (512, 0),
                                 'optimizations': {'computation-reuse':
                                                   'yes'}}),
     ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)}),
@@ -87,81 +90,9 @@ def over_budget() -> bool:
   return time.monotonic() > _DEADLINE
 
 
-def chain_input_index(stencil):
-  """Index of the input that can carry the timing chain: same dtype as
-  the first output, or same item size (the chain bitcasts then —
-  sobel2d writes uint16 from an int16 input)."""
-  out0 = stencil.output_names[0]
-  out_dt = stencil.symbol_table[out0].np_dtype
-  for idx, in_name in enumerate(stencil.input_names):
-    if stencil.symbol_table[in_name].np_dtype == out_dt:
-      return idx
-  for idx, in_name in enumerate(stencil.input_names):
-    if (np.dtype(stencil.symbol_table[in_name].np_dtype).itemsize ==
-        np.dtype(out_dt).itemsize):
-      return idx
-  raise RuntimeError('no chainable input for %s' % stencil.app_name)
-
-
-def slope_time(fn, args, chain_idx, est_iter_s, reps=3):
-  """Per-iteration time of ``fn(*args)`` via the chained-loop slope.
-
-  Remote-tunnel TPU attachments make per-call host timing unreliable
-  (dispatch acks can arrive before device completion), so we time
-  ``lax.fori_loop`` chains of N_SMALL and N_BIG data-dependent
-  applications — each iteration feeds the previous output back in, so
-  nothing can be elided or overlapped — force completion with a
-  data-dependent scalar fetch, and take the slope. Constant dispatch /
-  fetch overhead cancels. Returns (dt_seconds, compile_seconds).
-  """
-  import jax
-  import jax.numpy as jnp
-  from jax import lax
-
-  in_dtype = args[chain_idx].dtype
-
-  def body(i, a):
-    call_args = list(args)
-    call_args[chain_idx] = a
-    out = fn(*call_args)[0]
-    if out.dtype != in_dtype:  # same-width chain (e.g. u16 -> i16)
-      out = jax.lax.bitcast_convert_type(out, in_dtype)
-    return out
-
-  def make(n):
-    return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))
-
-  # adaptive loop length: the iteration-count delta must represent
-  # >= ~40 ms of device time so dispatch/fetch jitter cancels cleanly
-  n_big = N_SMALL + max(20, int(0.04 / est_iter_s))
-  f_small, f_big = make(N_SMALL), make(n_big)
-  x0 = args[chain_idx]
-
-  def timed(f):
-    t0 = time.perf_counter()
-    out = f(x0)
-    _ = jnp.sum(out.reshape(-1)[:1]).item()  # force device completion
-    return time.perf_counter() - t0
-
-  t0 = time.perf_counter()
-  timed(f_small)
-  timed(f_big)  # warm-up / compile
-  compile_s = time.perf_counter() - t0
-  t_small = min(timed(f_small) for _ in range(reps))
-  t_big = min(timed(f_big) for _ in range(reps))
-  dt = max((t_big - t_small) / (n_big - N_SMALL), 1e-9)
-  return dt, compile_s
-
-
-def stream_bytes(stencil, shape):
-  """Unique HBM traffic of one pass: inputs read once + outputs
-  written once."""
-  cells = float(np.prod(shape))
-  in_b = sum(cells * stencil.symbol_table[n].width_in_bytes
-             for n in stencil.input_names)
-  out_b = sum(cells * stencil.symbol_table[n].width_in_bytes
-              for n in stencil.output_names)
-  return in_b, out_b
+# timing helpers shared with soda_tpu.tools.autotune
+from soda_tpu.profiling import (  # noqa: E402
+    chain_input_index, slope_time, stream_bytes)
 
 
 def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
@@ -180,26 +111,35 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   inputs = reference.make_test_inputs(stencil, shape)
   args = list(ex.prepare(inputs))
 
-  # compile-probe a 2x block: the VMEM estimator is deliberately
-  # conservative (remote compile servers vary); when the double block
-  # actually compiles it is typically ~10% faster
-  try:
-    if over_budget():
-      raise TimeoutError('bench budget: skipping probe')
-    big = PallasExecutor(stencil, shape, block_rows=ex.block_rows * 2,
-                         **ex_opts)
-    if big.block_rows > ex.block_rows:
-      jax.block_until_ready(big.fn(*args))
-      ex = big
-      log('%s: probe accepted block=%d' % (name, ex.block_rows))
-  except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep the safe pick
-    pass
-
   chain_idx = chain_input_index(stencil)
   cells = float(np.prod(shape))
   in_bytes, out_bytes = stream_bytes(stencil, shape)
   est_iter = (in_bytes + out_bytes) / (peak_gbps * 1e9)
   dt, compile_s = slope_time(ex.fn, args, chain_idx, est_iter)
+
+  # measured candidate probe: the VMEM estimator is deliberately
+  # conservative and lane-shift mode is workload-dependent, so try a
+  # 2x block (and, for wide 2-D rows, the rotate mode) and keep
+  # whatever actually times fastest — a slim in-bench version of
+  # soda_tpu.tools.autotune
+  candidates = [{'block_rows': ex.block_rows * 2}]
+  if len(shape) == 2 and shape[-1] > 256 and \
+      ex_opts.get('lane_shift') is None:
+    candidates += [{'lane_shift': 'rotate'},
+                   {'lane_shift': 'rotate',
+                    'block_rows': ex.block_rows * 2}]
+  for cand in candidates:
+    if over_budget():
+      break
+    try:
+      trial = PallasExecutor(stencil, shape, **{**ex_opts, **cand})
+      trial_dt, _ = slope_time(trial.fn, args, chain_idx, est_iter,
+                               reps=2)
+    except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep safe pick
+      continue
+    if trial_dt < dt:
+      dt, ex = trial_dt, trial
+      log('%s: probe accepted %s (%.3f ms)' % (name, cand, dt * 1e3))
   gbps = (in_bytes + out_bytes) / dt / 1e9
   frac = gbps / peak_gbps
   cells_per_s = cells * stencil.iterate / dt

@@ -325,25 +325,22 @@ class PallasExecutor:
     self.block_rows = b
     if block_rows is None:
       # legality gate (the II=1-feasibility analog, reference
-      # dataflow.py:43-92): if even the chosen block's working set
-      # exceeds the VMEM budget, fail loudly instead of letting Mosaic
-      # OOM with an inscrutable error. Callers that pass an explicit
-      # block_rows override the estimate (it is deliberately
+      # dataflow.py:43-92): if even the MINIMUM feasible block's
+      # working set exceeds the physical scoped-VMEM limit, fail
+      # loudly instead of letting Mosaic OOM with an inscrutable
+      # error. The minimum is the halo-clamped block, not 8: deep
+      # pipelines force b >= halo. Callers that pass an explicit
+      # block_rows override the estimate entirely (it is deliberately
       # conservative; the bench's compile-probe relies on this).
-      est = estimate_vmem(self.plan, est_shape, self.block_rows,
-                          self.stage_mode)
-      if est > _VMEM_BUDGET and self.block_rows > 8:
-        raise utils.InputError(
-            'estimated VMEM working set %.1f MB exceeds the %.1f MB '
-            'budget; shrink the cross-section (mid tiling / sharding) '
-            'or pass block_rows explicitly' %
-            (est / 2**20, _VMEM_BUDGET / 2**20))
-      if estimate_vmem(self.plan, est_shape, 8, self.stage_mode) > \
+      min_b = _pad_to(max(8, self.lo, self.hi + 1), self.align0)
+      if estimate_vmem(self.plan, est_shape, min_b, self.stage_mode) > \
           _VMEM_LIMIT:
         raise utils.InputError(
-            'cross-section too large for the fused Pallas kernel even '
-            'at the minimum block size; use the mid-tiled or XLA '
-            'backend (get_executor("auto") dispatches this)')
+            'estimated VMEM working set exceeds the %d MB scoped limit '
+            'even at the minimum block size (%d); shrink the '
+            'cross-section (mid tiling / sharding), use cluster: '
+            'coarse, or use the XLA backend (get_executor("auto") '
+            'dispatches this)' % (_VMEM_LIMIT // 2**20, min_b))
     self._fn = jax.jit(self._build())
 
   # -- kernel construction ----------------------------------------------------
@@ -628,7 +625,8 @@ class PallasExecutor:
           return params[name][idx]
 
         evaluator = semantics.Evaluator(jnp, load, param=param,
-                                        fast_int_div=True)
+                                        fast_int_div=True,
+                                        fast_rsqrt=True)
         value, _ = evaluator.eval_stmt(stage.tensor)
         if value_mode:
           stage_vals[stage.name] = semantics.wrap_promoted(

@@ -154,7 +154,8 @@ class Evaluator:
   def __init__(self, xp, load: Callable[[ir.Ref], Any],
                env: Optional[Dict[str, Tuple[Any, Optional[Type]]]] = None,
                param: Optional[Callable[[str, Tuple[int, ...]], Any]] = None,
-               fast_int_div: bool = False):
+               fast_int_div: bool = False,
+               fast_rsqrt: bool = False):
     self.xp = xp
     self.load = load
     self.env = dict(env or {})
@@ -164,6 +165,11 @@ class Evaluator:
     # the oracle keeps pure C division so tests differentially verify
     # the proof
     self.fast_int_div = fast_int_div
+    # x / sqrt(y) -> x * rsqrt(y) (TPU-native; within a couple of ulps
+    # of the divide, well inside the reference THRESHOLD). Only the
+    # jax-backed executors set this; the oracle keeps sqrt + divide so
+    # tests differentially bound the substitution's error.
+    self.fast_rsqrt = fast_rsqrt
 
   def bind(self, name: str, value, dtype: Optional[Type]) -> None:
     self.env[name] = (value, dtype)
@@ -236,6 +242,17 @@ class Evaluator:
         else None
     acc, acc_t = self.eval(node.operand[0])
     for pos, (opd, op) in enumerate(zip(node.operand[1:], node.operator)):
+      if (op == '/' and self.fast_rsqrt and isinstance(opd, ir.Call) and
+          opd.name == 'sqrt' and (acc_t is None or acc_t.is_float)):
+        from jax import lax  # fast_rsqrt implies xp is jax.numpy
+        inner_v, inner_t = self.eval(opd.operand[0])
+        ftype = inner_t if inner_t is not None and inner_t.is_float \
+            else Type('float')
+        rs = lax.rsqrt(_as(xp, inner_v, ftype))
+        acc, rs, out = self._coerce_pair(acc, acc_t, rs, ftype)
+        acc = acc * rs
+        acc_t = out
+        continue
       val, val_t = self.eval(opd)
       acc, val, out = self._coerce_pair(acc, acc_t, val, val_t)
       if op == '+':

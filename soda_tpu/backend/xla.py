@@ -47,7 +47,7 @@ def _stage_compute(stencil, stage, arrays, params, shape, jnp):
   def param(name, idx):
     return params[name][idx]
 
-  evaluator = semantics.Evaluator(jnp, load, param=param,
+  evaluator = semantics.Evaluator(jnp, load, param=param, fast_rsqrt=True,
                                   fast_int_div=True)
   value, _ = evaluator.eval_stmt(stage.tensor)
   value = semantics.wrap(jnp, value, stage.dtype)

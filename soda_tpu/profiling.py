@@ -68,7 +68,7 @@ def measure(executor, inputs, params=None, reps: int = 3) -> Throughput:
   """Wall-clock measurement of an executor (device-resident args).
 
   NOTE: on remote-attached devices prefer the chained-loop slope method
-  (see bench.py) — per-call host timing can under-report.
+  (slope_time below) — per-call host timing can under-report.
   """
   import jax
   stencil = executor.stencil
@@ -84,3 +84,84 @@ def measure(executor, inputs, params=None, reps: int = 3) -> Throughput:
             for n in stencil.input_names + stencil.output_names)
   return Throughput(seconds=seconds, cells=cells, hbm_bytes=hbm,
                     iterate=stencil.iterate)
+
+
+# -- remote-attachment-safe timing (the bench's method) ------------------------
+
+N_SMALL = 5
+
+
+def chain_input_index(stencil) -> int:
+  """Index of the input that can carry a timing chain: same dtype as
+  the first output, or same item size (chained via bitcast)."""
+  out0 = stencil.output_names[0]
+  out_dt = stencil.symbol_table[out0].np_dtype
+  for idx, in_name in enumerate(stencil.input_names):
+    if stencil.symbol_table[in_name].np_dtype == out_dt:
+      return idx
+  for idx, in_name in enumerate(stencil.input_names):
+    if (np.dtype(stencil.symbol_table[in_name].np_dtype).itemsize ==
+        np.dtype(out_dt).itemsize):
+      return idx
+  raise RuntimeError('no chainable input for %s' % stencil.app_name)
+
+
+def stream_bytes(stencil, shape) -> Tuple[float, float]:
+  """Unique HBM traffic of one pass (inputs read once, outputs written
+  once)."""
+  cells = float(np.prod(shape))
+  in_b = sum(cells * stencil.symbol_table[n].width_in_bytes
+             for n in stencil.input_names)
+  out_b = sum(cells * stencil.symbol_table[n].width_in_bytes
+              for n in stencil.output_names)
+  return in_b, out_b
+
+
+def slope_time(fn, args, chain_idx, est_iter_s, reps=3):
+  """Per-iteration time of ``fn(*args)`` via the chained-loop slope.
+
+  Remote-tunnel TPU attachments make per-call host timing unreliable
+  (dispatch acks can arrive before device completion), so this times
+  ``lax.fori_loop`` chains of N_SMALL and N_BIG data-dependent
+  applications — each iteration feeds the previous output back in, so
+  nothing can be elided or overlapped — forces completion with a
+  data-dependent scalar fetch, and takes the slope. Constant dispatch
+  and fetch overhead cancels. Returns (dt_seconds, compile_seconds).
+  """
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  in_dtype = args[chain_idx].dtype
+
+  def body(i, a):
+    call_args = list(args)
+    call_args[chain_idx] = a
+    out = fn(*call_args)[0]
+    if out.dtype != in_dtype:  # same-width chain (e.g. u16 -> i16)
+      out = jax.lax.bitcast_convert_type(out, in_dtype)
+    return out
+
+  def make(n):
+    return jax.jit(lambda a0: lax.fori_loop(0, n, body, a0))
+
+  # adaptive loop length: the iteration-count delta must represent
+  # >= ~40 ms of device time so dispatch/fetch jitter cancels cleanly
+  n_big = N_SMALL + max(20, int(0.04 / est_iter_s))
+  f_small, f_big = make(N_SMALL), make(n_big)
+  x0 = args[chain_idx]
+
+  def timed(f):
+    t0 = time.perf_counter()
+    out = f(x0)
+    _ = jnp.sum(out.reshape(-1)[:1].astype(jnp.float32)).item()
+    return time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  timed(f_small)
+  timed(f_big)  # warm-up / compile
+  compile_s = time.perf_counter() - t0
+  t_small = min(timed(f_small) for _ in range(reps))
+  t_big = min(timed(f_big) for _ in range(reps))
+  dt = max((t_big - t_small) / (n_big - N_SMALL), 1e-9)
+  return dt, compile_s

@@ -87,6 +87,10 @@ def _build_parser() -> argparse.ArgumentParser:
   backend.add_argument('--mesh', type=str,
                        help='device mesh shape for --backend sharded, '
                             'e.g. 8 or 4,2 (default: all devices x 1)')
+  backend.add_argument('--tune', action='store_true',
+                       help='with --run: probe block sizes / lane modes '
+                            'on the attached device and cache the '
+                            'winner (~/.cache/soda_tpu_tune.json)')
   return parser
 
 
@@ -232,7 +236,10 @@ def _run(stencil, args) -> int:
   want = reference.run(stencil, inputs, params)
 
   backend = args.backend
-  if backend in ('auto', 'pallas', 'xla'):
+  if getattr(args, 'tune', False) and backend in ('auto', 'pallas'):
+    from soda_tpu.tools.autotune import tuned_executor
+    executor = tuned_executor(stencil, shape)
+  elif backend in ('auto', 'pallas', 'xla'):
     from soda_tpu.backend import get_executor
     executor = get_executor(stencil, shape, backend)
   else:

@@ -1,0 +1,139 @@
+"""Hardware auto-tuning with a persistent result cache.
+
+The reference caches its AutoBridge floorplan keyed by the exact
+stencil text (cluster.py:104-160) because the expensive tool run is
+deterministic in it. The TPU analog: the fastest (block_rows,
+lane_shift) configuration of the fused kernel is a hardware property
+of (stencil, shape, device); probe it once on the attached TPU and
+cache it under the same kind of key.
+
+Usage:
+  from soda_tpu.tools.autotune import tune, tuned_executor
+  cfg = tune(stencil, shape)               # {'block_rows': .., ...}
+  ex = tuned_executor(stencil, shape)      # executor built with cfg
+
+CLI: ``python -m soda_tpu <file.soda> --run --tune``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import time
+from typing import Dict, Tuple
+
+_logger = logging.getLogger().getChild(__name__)
+
+DEFAULT_CACHE = '~/.cache/soda_tpu_tune.json'
+
+
+def _key(stencil, shape, device_kind: str) -> str:
+  text = '%s|%s|%s' % (stencil, shape, device_kind)
+  return hashlib.sha256(text.encode()).hexdigest()[:24]
+
+
+def _load(path: str) -> Dict:
+  try:
+    with open(path) as f:
+      return json.load(f)
+  except (OSError, ValueError):
+    return {}
+
+
+def _store(path: str, table: Dict) -> None:
+  os.makedirs(os.path.dirname(path), exist_ok=True)
+  tmp = path + '.tmp'
+  with open(tmp, 'w') as f:
+    json.dump(table, f, indent=1)
+  os.replace(tmp, path)
+
+
+def _time_config(stencil, shape, cfg: Dict, reps: int = 2) -> float:
+  """Median wall time of one application (compile excluded)."""
+  import jax
+  import jax.numpy as jnp
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+
+  ex = PallasExecutor(stencil, shape, **cfg)
+  inputs = reference.make_test_inputs(stencil, shape)
+  args = ex.prepare(inputs)
+  jax.block_until_ready(ex.fn(*args))  # compile + warm up
+
+  # chain a handful of dependent applications so device time dominates
+  # the dispatch/fetch noise of tunneled attachments
+  from soda_tpu.profiling import chain_input_index, slope_time, \
+      stream_bytes
+  in_b, out_b = stream_bytes(stencil, shape)
+  peak = 819e9  # only sets the chain length; any ballpark works
+  dt, _ = slope_time(ex.fn, list(args), chain_input_index(stencil),
+                     (in_b + out_b) / peak, reps=reps)
+  return dt
+
+
+def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  base = PallasExecutor(stencil, shape)  # estimator's pick
+  cands = [{'block_rows': base.block_rows}]
+  for mult in (2, 4):
+    cands.append({'block_rows': base.block_rows * mult})
+  if len(shape) == 2 and shape[-1] > 256:
+    # wide rows default to lane slices; rotate sometimes wins
+    cands.append({'block_rows': base.block_rows, 'lane_shift': 'rotate'})
+    cands.append({'block_rows': base.block_rows * 2,
+                  'lane_shift': 'rotate'})
+  return tuple(cands)
+
+
+def tune(stencil, shape, cache_path: str = DEFAULT_CACHE,
+         force: bool = False) -> Dict:
+  """Probe candidate configs on the attached device; cache the winner.
+
+  Returns executor kwargs ({'block_rows': N[, 'lane_shift': ..]}).
+  Falls back to {} (estimator defaults) if every candidate fails.
+  """
+  import jax
+
+  device_kind = getattr(jax.devices()[0], 'device_kind', 'unknown')
+  path = os.path.expanduser(cache_path)
+  key = _key(stencil, tuple(shape), device_kind)
+  table = _load(path)
+  if not force and key in table:
+    return dict(table[key]['config'])
+
+  best_cfg: Dict = {}
+  best_dt = float('inf')
+  for cfg in candidate_configs(stencil, shape):
+    t0 = time.time()
+    try:
+      dt = _time_config(stencil, shape, cfg)
+    except Exception as e:  # noqa: BLE001 - Mosaic OOM etc: skip
+      _logger.info('tune: %s failed (%s)', cfg,
+                   str(e).splitlines()[0][:80])
+      continue
+    _logger.info('tune: %s -> %.3f ms (%.0fs)', cfg, dt * 1e3,
+                 time.time() - t0)
+    if dt < best_dt:
+      best_dt, best_cfg = dt, dict(cfg)
+  table[key] = {
+      'stencil': stencil.app_name,
+      'shape': list(shape),
+      'device': device_kind,
+      'config': best_cfg,
+      'ms': round(best_dt * 1e3, 4) if best_dt < float('inf') else None,
+  }
+  try:
+    _store(path, table)
+  except OSError as e:  # pragma: no cover
+    _logger.warning('tune cache not written: %r', e)
+  return dict(best_cfg)
+
+
+def tuned_executor(stencil, shape, cache_path: str = DEFAULT_CACHE,
+                   **kwargs):
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  cfg = tune(stencil, shape, cache_path)
+  cfg.update(kwargs)
+  return PallasExecutor(stencil, shape, **cfg)
