@@ -1,4 +1,5 @@
-"""Autotune: hardware-probe cache mechanics (interpret mode on CPU).
+"""Autotune: probe-cache mechanics (CPU; hardware timing is stubbed —
+interpret-mode Pallas is far too slow to time meaningfully).
 
 The reference analog is the AutoBridge floorplan cache keyed by the
 stencil text (cluster.py:104-160): an expensive deterministic probe
@@ -7,36 +8,58 @@ runs once per (stencil, shape, device) and later builds reuse it.
 
 import json
 
+import numpy as np
+
 from soda_tpu import corpus
 from soda_tpu.backend import reference
 from soda_tpu.tools import autotune
 
 
-def test_tune_probes_and_caches(tmp_path):
+def _fake_timer(times):
+  def timer(stencil, shape, cfg, reps=2):
+    key = (cfg.get('block_rows'), cfg.get('lane_shift'))
+    if key not in times:
+      raise RuntimeError('candidate rejected')
+    return times[key]
+  return timer
+
+
+def test_tune_picks_fastest_and_caches(tmp_path, monkeypatch):
   cache = str(tmp_path / 'tune.json')
   stencil = corpus.build('jacobi2d')
   shape = (24, 32)
+  # candidate set for a narrow 2-D grid: base block (24: the tiny
+  # grid is a single block), 2x, 4x
+  monkeypatch.setattr(
+      autotune, '_time_config',
+      _fake_timer({(24, None): 3e-3, (48, None): 1e-3, (96, None): 2e-3}))
   cfg = autotune.tune(stencil, shape, cache_path=cache)
-  assert 'block_rows' in cfg
+  assert cfg == {'block_rows': 48}
   table = json.load(open(cache))
-  assert len(table) == 1
   (entry,) = table.values()
   assert entry['stencil'] == 'jacobi2d'
   assert entry['config'] == cfg
-  # second call hits the cache (mutate the stored config to prove it)
-  key = next(iter(table))
-  table[key]['config'] = {'block_rows': 8}
-  json.dump(table, open(cache, 'w'))
-  assert autotune.tune(stencil, shape, cache_path=cache) == \
-      {'block_rows': 8}
+  # second call: pure cache hit (timer would now blow up)
+  monkeypatch.setattr(autotune, '_time_config',
+                      _fake_timer({}))
+  assert autotune.tune(stencil, shape, cache_path=cache) == cfg
 
 
-def test_tuned_executor_matches_oracle(tmp_path):
-  import numpy as np
+def test_tune_survives_all_candidates_failing(tmp_path, monkeypatch):
+  cache = str(tmp_path / 'tune.json')
+  stencil = corpus.build('jacobi2d')
+  monkeypatch.setattr(autotune, '_time_config', _fake_timer({}))
+  assert autotune.tune(stencil, (24, 32), cache_path=cache) == {}
+
+
+def test_tuned_executor_matches_oracle(tmp_path, monkeypatch):
   cache = str(tmp_path / 'tune.json')
   stencil = corpus.build('blur')
   shape = corpus.TEST_DIMS['blur']
+  monkeypatch.setattr(autotune, '_time_config',
+                      _fake_timer({(40, None): 1e-3}))
   ex = autotune.tuned_executor(stencil, shape, cache_path=cache)
+  assert ex.block_rows == 40
   inputs = reference.make_test_inputs(stencil, shape)
   want = reference.run(stencil, inputs)
   got = ex(inputs)
