@@ -66,4 +66,9 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
   if backend == 'sharded':
     from soda_tpu.parallel.spmd import ShardedExecutor
     return ShardedExecutor(stencil, shape, **kwargs)
+  if backend == 'replicated':
+    # coarse-grain replication: R independent grids batched through
+    # one launch (the reference's replication_factor, core.py:565-614)
+    from soda_tpu.parallel.replicate import ReplicatedExecutor
+    return ReplicatedExecutor(stencil, shape, **kwargs)
   raise ValueError('unknown backend: %s' % backend)

@@ -78,7 +78,7 @@ def _build_parser() -> argparse.ArgumentParser:
   backend.add_argument('--bench', action='store_true',
                        help='with --run: time the kernel, print pixel/ns')
   backend.add_argument('--backend',
-                       choices=('auto', 'xla', 'pallas', 'sharded'),
+                       choices=('auto', 'xla', 'pallas', 'sharded', 'replicated'),
                        default='auto')
   backend.add_argument('--shape', type=str,
                        help='grid shape, comma-separated, streaming axis '

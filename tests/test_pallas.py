@@ -15,13 +15,14 @@ from soda_tpu.backend.pallas_kernel import PallasExecutor
 from checks import assert_close_reference
 
 
-def check_kernel(name, shape=None, block_rows=None):
+def check_kernel(name, shape=None, block_rows=None, **ex_kwargs):
   stencil = corpus.build(name)
   shape = shape or corpus.TEST_DIMS[name]
   inputs = reference.make_test_inputs(stencil, shape)
   params = reference.make_test_params(stencil)
   want = reference.run(stencil, inputs, params)
-  executor = PallasExecutor(stencil, shape, block_rows=block_rows)
+  executor = PallasExecutor(stencil, shape, block_rows=block_rows,
+                            **ex_kwargs)
   got = executor(inputs, params)
   for out_name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, out_name)
@@ -30,9 +31,10 @@ def check_kernel(name, shape=None, block_rows=None):
         stencil.symbol_table[out_name].is_float, f'{name}:{out_name}')
 
 
+@pytest.mark.parametrize('mode', ['value', 'vmem'])
 @pytest.mark.parametrize('name', sorted(corpus.CORPUS))
-def test_corpus_pallas_matches_oracle(name):
-  check_kernel(name)
+def test_corpus_pallas_matches_oracle(name, mode):
+  check_kernel(name, stage_mode=mode)
 
 
 def test_multi_block_grid():
