@@ -122,7 +122,8 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   # 2x block (and, for wide 2-D rows, the rotate mode) and keep
   # whatever actually times fastest — a slim in-bench version of
   # soda_tpu.tools.autotune
-  candidates = [{'block_rows': ex.block_rows * 2}]
+  candidates = [{'block_rows': ex.block_rows * 2},
+                {'block_rows': ex.block_rows * 4}]
   if len(shape) == 2 and shape[-1] > 256 and \
       ex_opts.get('lane_shift') is None:
     candidates += [{'lane_shift': 'rotate'},

@@ -176,9 +176,19 @@ def op_model(stencil, plan, lanes: Optional[int] = None
 
 
 def estimate(stencil, shape: Tuple[int, ...],
-             device=None) -> Dict[str, object]:
+             device=None,
+             model_params: Optional[Dict[str, float]] = None
+             ) -> Dict[str, object]:
+  """Analytic estimate; ``model_params`` may override the device table
+  ({'hbm_gbps': .., 'vpu_gflops': ..} — the analog of the reference's
+  --model-file JSON with target_freq/dram_bandwidth,
+  model/xilinx.py:34-60)."""
   plan = make_plan(stencil, 'full')
   kind, bw_gbps, vpu_gflops = device_params(device)
+  if model_params:
+    bw_gbps = float(model_params.get('hbm_gbps', bw_gbps))
+    vpu_gflops = float(model_params.get('vpu_gflops', vpu_gflops))
+    kind = model_params.get('name', kind)
   cells = float(np.prod(shape))
   in_bytes = sum(cells * stencil.symbol_table[n].width_in_bytes
                  for n in stencil.input_names)
