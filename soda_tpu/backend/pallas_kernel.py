@@ -514,6 +514,45 @@ class PallasExecutor:
         return pltpu.make_async_copy(src, slabs[k].at[slot],
                                      in_sems[k].at[slot])
 
+      # rolling slab fill: for 3-D grids (streaming axis is a free
+      # plane stride) consecutive stream windows within a mid tile
+      # overlap by the halo, so interior steps DMA only the NEW b rows
+      # from HBM and copy the tiny overlap VMEM->VMEM from the other
+      # slot — removing the (b+halo)/b read amplification that caps
+      # small-block 3-D kernels (the 256^3 case). Three static classes
+      # (the first window's clamped start skews the overlaps):
+      #   i==1:        overlap 2*lo+hi, DMA b-lo rows at HBM row s
+      #   1<i<n-1:     overlap lo+hi,   DMA b rows    at row i*b+hi
+      #   i==n-1:      overlap lo+2*hi, DMA b-hi rows at row (n-1)*b+hi
+      r_hi = self.hi
+      rolling = (not single and self.align0 == 1 and self.grid >= 3 and
+                 0 < self.plan.halo_lo[dim - 1] + r_hi < b)
+      r_lo = self.plan.halo_lo[dim - 1] if rolling else 0  # unpadded
+      roll_classes = (
+          # (cond_on_target_i, overlap_rows, hbm_row_fn, dma_rows)
+          ('second', 2 * r_lo + r_hi, lambda ii: s, b - r_lo),
+          ('mid', r_lo + r_hi, lambda ii: ii * b + r_hi, b),
+          ('tail', r_lo + 2 * r_hi, lambda ii: ii * b + r_hi, b - r_hi),
+      )
+
+      def roll_cond(kind, ii):
+        if kind == 'second':
+          return ii == 1
+        if kind == 'mid':
+          return jnp.logical_and(ii > 1, ii < n - 1)
+        return ii == n - 1  # tail
+
+      def partial_copy(k, kind, ov, row_fn, rows, ii, slot_):
+        src = in_refs[k]
+        if mid_blocked:
+          sm = axis_start(jm, mt, lo_m, m_pad, ext_m, _ALIGN)
+          src = src.at[pl.ds(row_fn(ii), rows), pl.ds(sm, ext_m)]
+        else:
+          src = src.at[pl.ds(row_fn(ii), rows)]
+        return pltpu.make_async_copy(
+            src, slabs[k].at[slot_, pl.ds(ov, rows)],
+            in_sems[k].at[slot_])
+
       if single:
         # full copies: no ref slicing, so no alignment concerns
         for k in range(n_in):
@@ -531,20 +570,53 @@ class PallasExecutor:
           nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
         else:
           nxt_i, nxt_j = i + 1, 0
+        slot = step % 2
+        nxt_slot = (step + 1) % 2
 
         @pl.when(step == 0)
         def _():
           for k in range(n_in):
             in_copy(k, i, jm, 0).start()
 
-        @pl.when(step + 1 < total)
-        def _():
-          for k in range(n_in):
-            in_copy(k, nxt_i, nxt_j, (step + 1) % 2).start()
+        if rolling:
+          # ORDER MATTERS: wait own fill and copy the overlap out of
+          # the previous slab BEFORE starting the next fill — the next
+          # fill overwrites exactly that slab's rows.
+          @pl.when(i == 0)
+          def _():
+            for k in range(n_in):
+              in_copy(k, i, jm, slot).wait()
+          for kind, ov, row_fn, rows in roll_classes:
+            @pl.when(roll_cond(kind, i))
+            def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
+              for k in range(n_in):
+                partial_copy(k, kind, ov, row_fn, rows, i, slot).wait()
+              # overlap rows come from the tail of the previous slab
+              # (final: its fill was awaited last step; nothing writes
+              # a slab between its wait and this copy)
+              for k in range(n_in):
+                slabs[k][slot, 0:ov] = slabs[k][1 - slot, s - ov:s]
 
-        slot = step % 2
-        for k in range(n_in):
-          in_copy(k, i, jm, slot).wait()
+          for kind, ov, row_fn, rows in roll_classes:
+            @pl.when(jnp.logical_and(step + 1 < total,
+                                     roll_cond(kind, i + 1)))
+            def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
+              for k in range(n_in):
+                partial_copy(k, kind, ov, row_fn, rows, i + 1,
+                             nxt_slot).start()
+
+          @pl.when(jnp.logical_and(step + 1 < total, i + 1 == n))
+          def _():
+            for k in range(n_in):
+              in_copy(k, 0, jm + 1, nxt_slot).start()
+        else:
+          @pl.when(step + 1 < total)
+          def _():
+            for k in range(n_in):
+              in_copy(k, nxt_i, nxt_j, nxt_slot).start()
+
+          for k in range(n_in):
+            in_copy(k, i, jm, slot).wait()
 
       def parent_ref(name):
         if name in stage_refs:
