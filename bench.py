@@ -233,6 +233,15 @@ def main():
                       'unit': 'fraction', 'vs_baseline': 0.0}))
     return
   geomean = math.exp(sum(map(math.log, fracs)) / len(fracs))
+  # continuity metric: the round-1 bench covered only these six
+  # kernels; report their subset geomean so rounds compare
+  # like-for-like (round 1: 0.5684)
+  r1_names = ('blur', 'jacobi2d', 'jacobi3d', 'heat3d', 'seidel2d',
+              'erosion')
+  r1 = [details[n]['roofline_frac'] for n in r1_names if n in details]
+  if r1:
+    details['_r1_subset_geomean'] = round(
+        math.exp(sum(map(math.log, r1)) / len(r1)), 4)
   log('details: %s' % json.dumps(details))
   print(json.dumps({
       'metric': 'hbm_roofline_frac_geomean',
