@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 from soda_tpu.core.stencil import Stencil
 from soda_tpu.frontend import parser
 

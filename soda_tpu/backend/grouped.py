@@ -24,7 +24,7 @@ import numpy as np
 from soda_tpu import utils
 from soda_tpu.backend import semantics
 from soda_tpu.backend.pallas_kernel import PallasExecutor, _prepare_args
-from soda_tpu.backend.plan import FusionPlan, make_plan
+from soda_tpu.backend.plan import make_plan
 from soda_tpu.core.stencil import Stencil
 from soda_tpu.frontend import ast
 

@@ -42,8 +42,7 @@ from soda_tpu import utils
 from soda_tpu.ir import arithmetic, mutator, nodes as ir
 from soda_tpu.ir import visitor as soda_visitor
 from soda_tpu.optimization.computation_reuse import (Linearizer, assemble_attr,
-                                                     extract_attr,
-                                                     range_from_middle)
+                                                     extract_attr)
 
 _logger = logging.getLogger().getChild(__name__)
 

@@ -16,7 +16,7 @@ import contextlib
 import dataclasses
 import logging
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

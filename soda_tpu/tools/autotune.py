@@ -53,7 +53,6 @@ def _store(path: str, table: Dict) -> None:
 def _time_config(stencil, shape, cfg: Dict, reps: int = 2) -> float:
   """Median wall time of one application (compile excluded)."""
   import jax
-  import jax.numpy as jnp
   from soda_tpu.backend import reference
   from soda_tpu.backend.pallas_kernel import PallasExecutor
 

@@ -64,3 +64,38 @@ def test_deep_iterate_pipeline():
   assert region[0].start == 4  # accumulated halo
   assert_close_reference(np.asarray(got['t0'])[region],
                          want['t0'][region], True, 'iterate4')
+
+
+@pytest.mark.parametrize('grid_blocks', [3, 4, 5])
+def test_rolling_fill_boundary_classes(grid_blocks):
+  """3-D rolling slab fill: the first window's clamped start skews the
+  second and tail overlaps — exercise every class at several grid
+  sizes (halo 2 each way: iterate-2 jacobi3d)."""
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  stencil = corpus.build('jacobi3d')
+  b = 8
+  shape = (b * grid_blocks, 16, 128)
+  ex = PallasExecutor(stencil, shape, block_rows=b)
+  assert ex.grid == grid_blocks
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['t0'])[region],
+                         want['t0'][region], True,
+                         'rolling:%d' % grid_blocks)
+
+
+def test_rolling_with_mid_blocking():
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  stencil = corpus.build('heat3d')
+  shape = (48, 64, 128)
+  ex = MidTiledPallasExecutor(stencil, shape, mid_tile=16,
+                              block_rows=8)
+  assert ex.grid_m > 1 and ex.grid >= 3
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['out'])[region],
+                         want['out'][region], True, 'rolling:mid')
