@@ -236,6 +236,8 @@ def estimate(stencil, shape: Tuple[int, ...],
   }
 
 
-def print_estimation(stencil, shape, file, device=None) -> None:
-  json.dump(estimate(stencil, shape, device), file, indent=2, default=str)
+def print_estimation(stencil, shape, file, device=None,
+                     model_params=None) -> None:
+  json.dump(estimate(stencil, shape, device, model_params), file,
+            indent=2, default=str)
   file.write('\n')

@@ -70,6 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
                        help='dump the fusion-plan DAG as graphviz')
   backend.add_argument('--estimate', metavar='FILE',
                        help='write the analytic performance estimate JSON')
+  backend.add_argument('--model-file', metavar='FILE',
+                       help='JSON overriding the device model for '
+                            '--estimate ({"hbm_gbps": .., '
+                            '"vpu_gflops": ..}; the analog of the '
+                            'reference --model-file, model/xilinx.py)')
   backend.add_argument('--compile-stats', metavar='FILE',
                        help='compile the fused kernel and dump XLA cost/'
                             'memory analysis (the csynth-report analog)')
@@ -178,11 +183,17 @@ def main(argv: Optional[list] = None) -> int:
       device = jax.devices()[0]
     except Exception:  # noqa: BLE001 - no device is fine for estimation
       pass
+    model_params = None
+    if getattr(args, 'model_file', None):
+      import json as json_mod
+      with open(args.model_file) as f:
+        model_params = json_mod.load(f)
     if args.estimate == '-':
-      model.print_estimation(stencil, shape, sys.stdout, device)
+      model.print_estimation(stencil, shape, sys.stdout, device,
+                             model_params)
     else:
       with open(args.estimate, 'w') as f:
-        model.print_estimation(stencil, shape, f, device)
+        model.print_estimation(stencil, shape, f, device, model_params)
     did_something = True
 
   if args.compile_stats:
