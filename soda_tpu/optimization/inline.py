@@ -123,9 +123,16 @@ def inline2(stencil):
   return out
 
 
-REBALANCE_THRESHOLDS = {
-    Type('float'): 32,
-}
+# Maximum reduction width before splitting. The reference splits FLOAT
+# reductions at 32 to keep HLS codegen tractable (inline.py:170-172);
+# on TPU the binding constraint is Mosaic instead — arithmetic folds
+# wider than ~12 operands over shifted value slices crash the compiler
+# (experiments/exp6_crashes.py) and force the slower named-slab path —
+# so the same pass runs with a TPU-tuned threshold for EVERY element
+# type. Integer splits are exact: partial sums compute at the promoted
+# width either way, and the store wrap commutes with reassociation.
+REBALANCE_THRESHOLD = 12
+REBALANCE_THRESHOLDS = {Type('float'): REBALANCE_THRESHOLD}  # legacy alias
 
 
 def _weighted_terms(expr) -> List[Tuple[object, ir.Node]]:
@@ -165,8 +172,8 @@ def rebalance(stencil):
   """Split float reductions wider than the threshold into chained
   locals (widest terms packed first, one spill stmt per extra group)."""
   for stmt in _all_stmts(stencil):
-    threshold = REBALANCE_THRESHOLDS.get(stmt.dtype)
-    if threshold is None or not isinstance(stmt.expr, ir.AddSub) or \
+    threshold = REBALANCE_THRESHOLD
+    if not isinstance(stmt.expr, ir.AddSub) or \
         set(stmt.expr.operator) != {'+'}:
       continue
     terms = sorted(_weighted_terms(stmt.expr), key=_width, reverse=True)

@@ -274,7 +274,10 @@ def _run(stencil, args) -> int:
   import os
   # THRESHOLD env override, same knob as the generated hosts
   # (reference frt/host.py:633-641, xilinx/host.py:1201-1204)
-  threshold = float(os.environ.get('THRESHOLD', '0.00001'))
+  # squared-form criterion, reference frt/host.py:633-657 (their
+  # ``threshold *= threshold``); default relaxed to 1e-4 for XLA/Mosaic
+  # FMA contraction vs the individually-rounded oracle (tests/checks.py)
+  threshold = float(os.environ.get('THRESHOLD', '0.0001')) ** 2
   errors = 0
   for name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, name)

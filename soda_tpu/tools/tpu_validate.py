@@ -36,7 +36,14 @@ TILE = {
     'seidel2d': (512, 0), 'sobel2d': (512, 0), 'denoise2d': (512, 0),
 }
 
-THRESHOLD = 1e-5
+# Reference squared-form criterion (frt/host.py:633-657) at the
+# TPU-adjusted default: XLA/Mosaic FMA contraction makes a few-hundred
+# ulp of divergence vs the individually-rounded NumPy oracle expected
+# on cancelling coefficient sums (see tests/checks.py).
+THRESHOLD = 1e-4
+# contrast cancels +-100-coefficient sums of ~5e3 magnitude: one
+# FMA-contracted ulp of the running sum is ~5e-4 (see tests/checks.py)
+KERNEL_THRESHOLDS = {'contrast': 1e-3}
 
 
 def check(name, variants=()):
@@ -65,7 +72,8 @@ def check(name, variants=()):
     if stencil.symbol_table[out_name].is_float:
       d2 = (g.astype(np.float64) - w_.astype(np.float64)) ** 2
       w2 = w_.astype(np.float64) ** 2
-      bad = (d2 > THRESHOLD) & (d2 > THRESHOLD * w2)
+      t2 = KERNEL_THRESHOLDS.get(name, THRESHOLD) ** 2
+      bad = (d2 > t2) & (d2 > t2 * w2)
       worst = max(worst, float(np.sqrt(d2.max())))
     else:
       bad = g != w_
