@@ -231,6 +231,7 @@ class PallasExecutor:
       # the named-slab path. (Computation reuse shrinks folds to 2-3
       # operands, so optimized pipelines stay on the value path.)
       stage_mode = 'value'
+      wide_stages = 0
       for stage in self.plan.stages:
         widest = [0]
 
@@ -243,6 +244,14 @@ class PallasExecutor:
         if widest[0] > 12:
           stage_mode = 'vmem'
           break
+        if widest[0] > 8:
+          wide_stages += 1
+      # empirical second boundary: MANY near-limit fold stages (plain
+      # contrast: 26 stages of 12 dense 2-D taps each) also crash,
+      # while a handful (xcorr's split sums, CR'd contrast's split top
+      # reduction) compile
+      if wide_stages > 4:
+        stage_mode = 'vmem'
     if stage_mode not in ('value', 'vmem'):
       raise ValueError('stage_mode must be value|vmem|auto')
     self.stage_mode = stage_mode
