@@ -63,7 +63,11 @@ def group_stencil(stencil, group, index: int) -> Stencil:
     t = stage.tensor
     kwargs = dict(ref=copy.copy(t.st_ref), dtype=t.dtype, expr=t.expr,
                   let=t.lets)
-    if t.name in outputs or t.name in consumed_outside:
+    # dead locals (no consumers anywhere — legal DSL) must still be
+    # a sub-stencil output so the group has one; the value is simply
+    # never read downstream
+    dead = not t.children and t.name not in outputs
+    if t.name in outputs or t.name in consumed_outside or dead:
       if t.name in consumed_outside and t.children and any(
           c in produced for c in t.children):
         raise utils.InternalError(

@@ -106,3 +106,61 @@ def test_fuzz_backends_match_oracle(seed):
     assert_close_reference(
         np.asarray(got['out'])[region], want['out'][region], is_float,
         '%s seed=%d\n%s' % (cls.__name__, seed, program))
+
+
+@pytest.mark.parametrize('seed', range(40, 55))
+def test_fuzz_cr_and_cluster(seed):
+  """Fuzz the optimization paths: computation reuse rewrites and the
+  grouped (cluster: coarse) executor must match the oracle of the SAME
+  rewritten program (the reference re-runs its corpus per knob;
+  random programs cover rewrite edge cases the corpus misses)."""
+  rng = np.random.default_rng(seed)
+  program = gen_program(rng, 2)
+  overrides = {}
+  if seed % 2:
+    overrides['optimizations'] = {'computation-reuse': 'greedy'}
+  try:
+    stencil = build_stencil(program, cluster='coarse', **overrides)
+  except Exception as e:
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (24, 32)
+  inputs = reference.make_test_inputs(stencil, shape, seed=seed)
+  want = reference.run(stencil, inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  from soda_tpu.backend import get_executor
+  got = get_executor(stencil, shape, 'pallas')(inputs)
+  assert_close_reference(
+      np.asarray(got['out'])[region], want['out'][region],
+      stencil.symbol_table['out'].is_float,
+      'grouped seed=%d\n%s' % (seed, program))
+
+
+@pytest.mark.parametrize('seed', range(55, 63))
+def test_fuzz_sharded(seed):
+  """Fuzz the multi-chip path: random programs over the virtual mesh
+  (halo exchange + pad-and-crop) vs the oracle."""
+  rng = np.random.default_rng(seed)
+  program = gen_program(rng, 2)
+  try:
+    stencil = build_stencil(program)
+  except Exception as e:
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (61, 32) if seed % 2 else (64, 32)  # odd: pad-and-crop
+  inputs = reference.make_test_inputs(stencil, shape, seed=seed)
+  want = reference.run(stencil, inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  from soda_tpu.parallel.spmd import ShardedExecutor
+  from soda_tpu import utils
+  try:
+    ex = ShardedExecutor(stencil, shape)
+  except utils.InputError as e:
+    pytest.skip('halo exceeds local extent: %r' % e)
+  got = ex(inputs)
+  assert_close_reference(
+      np.asarray(got['out'])[region], want['out'][region],
+      stencil.symbol_table['out'].is_float,
+      'sharded seed=%d\n%s' % (seed, program))
