@@ -136,7 +136,9 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
       ex_opts.get('lane_shift') is None:
     candidates += [{'lane_shift': 'rotate'},
                    {'lane_shift': 'rotate',
-                    'block_rows': ex.block_rows * 2}]
+                    'block_rows': ex.block_rows * 2},
+                   {'lane_shift': 'rotate',
+                    'block_rows': ex.block_rows * 4}]
   if cached_cfg:
     candidates.insert(0, cached_cfg)
   best_cand = {}
