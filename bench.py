@@ -162,15 +162,16 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
       log('%s: probe accepted %s (%.3f ms)' % (name, cand, dt * 1e3))
   try:
     ttable = autotune._load(tpath)  # re-read: other kernels wrote too
-    prev = ttable.get(tkey, {})
-    if not prev.get('ms') or dt * 1e3 < prev['ms']:
-      ttable[tkey] = {'stencil': stencil.app_name, 'shape': list(shape),
-                      'device': getattr(jax.devices()[0], 'device_kind',
-                                        '?'),
-                      # {} = the estimator's own pick won this run
-                      'config': best_cand,
-                      'ms': round(dt * 1e3, 4)}
-      autotune._store(tpath, ttable)
+    # always record THIS run's winner: keeping a historical best-ever
+    # ms lets one fluke measurement pin a bad config forever, while
+    # the latest measured winner self-corrects next run
+    ttable[tkey] = {'stencil': stencil.app_name, 'shape': list(shape),
+                    'device': getattr(jax.devices()[0], 'device_kind',
+                                      '?'),
+                    # {} = the estimator's own pick won this run
+                    'config': best_cand,
+                    'ms': round(dt * 1e3, 4)}
+    autotune._store(tpath, ttable)
   except OSError:
     pass
   gbps = (in_bytes + out_bytes) / dt / 1e9

@@ -214,17 +214,14 @@ class PallasExecutor:
     self.stencil = stencil
     self.shape = tuple(shape)
     if lane_shift == 'auto':
-      # measured on v5e: narrow lane extents (~one or two vregs)
-      # always prefer the in-register rotate (up to 2.2x); on wide
-      # rows the answer splits by element class — integer pipelines
-      # (blur u16, sobel/erosion/xcorr i16: probe-measured 0.31->0.80
-      # on sobel) still prefer rotate, while f32 pipelines prefer the
-      # lane-crossing shifted load
-      int_kernel = all(
-          not stmt.dtype.is_float
-          for stmt in stencil.local_stmts + stencil.output_stmts)
-      lane_shift = 'rotate' if (shape[-1] <= 256 or int_kernel) \
-          else 'slice'
+      # measured on v5e: for narrow lane extents (~one or two vregs)
+      # the in-register rotate wins by up to 2.2x; for wide rows the
+      # winner is workload-specific (erosion/xcorr prefer rotate,
+      # sobel/f32 kernels prefer the lane-crossing shifted load) —
+      # the conservative default is slice, and hardware probing
+      # (tools/autotune.py, the bench's measured probe) picks per
+      # kernel
+      lane_shift = 'rotate' if shape[-1] <= 256 else 'slice'
     self.lane_shift = lane_shift
     self.plan = make_plan(stencil, 'full')
     if stage_mode == 'auto':
