@@ -297,11 +297,25 @@ def _run(stencil, args) -> int:
 
   if args.bench:
     import jax
-    # warm-up then measure (the generated hosts also discard the first
-    # run, reference host.py:798-827)
-    t0 = time.perf_counter()
-    jax.block_until_ready(list(executor(inputs, params).values()))
-    dt = time.perf_counter() - t0
+    from soda_tpu.profiling import (chain_input_index, slope_time,
+                                    stream_bytes)
+    dt = None
+    try:
+      # chained-loop slope timing: remote-attached devices ack
+      # dispatches early, so single-call wall clock over-reports
+      # (see soda_tpu.profiling.slope_time)
+      chain_idx = chain_input_index(stencil)
+      in_b, out_b = stream_bytes(stencil, shape)
+      args_pos = list(executor.prepare(inputs, params))
+      dt, _ = slope_time(executor.fn, args_pos, chain_idx,
+                         (in_b + out_b) / 800e9)
+      gbps = (in_b + out_b) / dt / 1e9
+      print('Effective HBM bandwidth: %.1f GB/s' % gbps)
+    except Exception:  # noqa: BLE001 - unchainable: wall clock
+      t0 = time.perf_counter()
+      jax.block_until_ready(list(executor(inputs, params).values()))
+      dt = time.perf_counter() - t0
+    # same surface as the generated hosts (reference host.py:816-823)
     print('Kernel execution time: %.3f ms' % (dt * 1e3))
     print('Kernel throughput: %.6f pixel/ns' % (cells / dt / 1e9))
   return 1 if errors else 0
