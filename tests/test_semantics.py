@@ -63,3 +63,45 @@ def test_fast_int_div_matches_exact():
     exact = semantics.c_int_div(np, n, np.int64(d))
     via_f32 = (n.astype(np.float32) / np.float32(d)).astype(np.int64)
     np.testing.assert_array_equal(via_f32, exact, err_msg='d=%d' % d)
+
+
+def test_wrap_promoted_equals_wrap_then_promote():
+  """The value-mode contract: for any integer dtype, wrap_promoted(v)
+  numerically equals promote(wrap(v)) — so keeping stage values at the
+  C-promoted width is invisible to consumers (which promote anyway)."""
+  import numpy as np
+  from soda_tpu.backend.semantics import promote, wrap, wrap_promoted
+  from soda_tpu.ir.types import Type
+
+  rng = np.random.default_rng(7)
+  for tname in ('int16', 'uint16', 'int8', 'uint8', 'int32', 'uint32',
+                'int12', 'uint3'):
+    dtype = Type(tname)
+    # values across the full promoted range, incl. extremes
+    v = rng.integers(-2**31, 2**31 - 1, 256, dtype=np.int64)
+    v = np.concatenate([v, [0, 1, -1, 2**31 - 1, -2**31]])
+    v = v.astype(np.int64)
+    compute = v.astype(promote(dtype).np_dtype)  # what a stage yields
+    got = wrap_promoted(np, compute, dtype, wrap_free=False)
+    want = wrap(np, compute, dtype).astype(np.int64)
+    np.testing.assert_array_equal(got.astype(np.int64), want,
+                                  err_msg=tname)
+
+
+def test_wrap_promoted_float_matches_wrap():
+  import numpy as np
+  from soda_tpu.backend.semantics import wrap, wrap_promoted
+  from soda_tpu.ir.types import Type
+  v = np.array([1.5, -2.75, 1e30, -0.0], np.float64)
+  f = Type('float')
+  np.testing.assert_array_equal(wrap_promoted(np, v, f),
+                                wrap(np, v, f))
+
+
+def test_wrap_promoted_trunc_toward_zero():
+  import numpy as np
+  from soda_tpu.backend.semantics import wrap_promoted
+  from soda_tpu.ir.types import Type
+  v = np.array([2.9, -2.9, 0.5, -0.5], np.float32)
+  got = wrap_promoted(np, v, Type('int16'))
+  np.testing.assert_array_equal(got, [2, -2, 0, 0])
