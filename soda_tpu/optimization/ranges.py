@@ -107,6 +107,10 @@ class _Analyzer:
         return (0 if lo <= 0 <= hi else min(abs(lo), abs(hi)), m)
       return _UNBOUNDED
     if isinstance(node, (ir.EqCmp, ir.LtCmp, ir.Expr, ir.LogicAnd)):
+      if len(node.operand) == 1:
+        # bare chain wrapper (parenthesized subexpression), not a
+        # comparison: the range passes through
+        return self.range_of(node.operand[0])
       self._descend(node)
       return (0, 1)
     if isinstance(node, ir.AddSub):
@@ -152,6 +156,129 @@ def _is_float_node(node: ir.Node) -> bool:
   return node.dtype is not None and node.dtype.is_float
 
 
+# -- wrap sinking -------------------------------------------------------------
+#
+# Wrapping an integer to width n is reduction mod 2^n, and Z/2^m -> Z/2^n
+# (n <= m) is a ring homomorphism: +, -, *, unary -/~ and the bitwise
+# chains commute with it, so an intermediate stage's store wrap can be
+# SUNK into its consumers' wraps whenever every use of the value only
+# passes through such ops before hitting another wrap of width <= n.
+# (This is why the reference's CR rewrite of integer reductions into
+# narrow local stmts is exact: per-partial-sum wraps compose to the
+# same final value — computation_reuse.py:755-813 relies on it.)
+# Division, %, comparisons, min/max and float casts need the true
+# value, so any use through them pins the producer to an exact wrap.
+
+_EXACT = 10**9  # "must be the true value" (congruence mod 2^inf)
+
+
+def _chain_ctx(node: ir.Node, j: int, ctx: int) -> int:
+  """Required congruence exponent for operand ``j`` of a chain node
+  whose result must be correct mod 2^ctx."""
+  if isinstance(node, (ir.BinaryOr, ir.Xor, ir.BinaryAnd, ir.AddSub)):
+    return ctx  # bit-local / ring ops
+  if isinstance(node, ir.MulDiv):
+    # operand j joins via operator[j-1] and is then subject to
+    # operator[j:]; any '/' or '%' there needs the exact value
+    tail = node.operator[max(j - 1, 0):]
+    return ctx if all(op == '*' for op in tail) else _EXACT
+  if isinstance(node, (ir.Expr, ir.LogicAnd)) and len(node.operand) == 1:
+    return ctx  # bare wrapper, no || / && applied
+  return _EXACT  # comparisons, logical ops: truthiness is value-exact
+
+
+def _walk_uses(node: ir.Node, ctx: int, out: Dict[str, int]) -> None:
+  """Record, per referenced tensor, the strictest congruence exponent
+  this expression demands of it when the expression's own result only
+  needs to be correct mod 2^ctx."""
+  if isinstance(node, ir.Ref):
+    out[node.name] = max(out.get(node.name, 0), ctx)
+    return
+  if isinstance(node, ir.Num):
+    return
+  if isinstance(node, ir.Cast):
+    if node.dtype is None or node.dtype.is_float:
+      _walk_uses(node.expr, _EXACT, out)
+    else:
+      # an int cast wraps mod 2^k itself: correctness mod 2^k of the
+      # input fully determines the output, so the cast LOWERS the
+      # requirement (int32(x) of a sunk int16 is exact given mod 2^16)
+      _walk_uses(node.expr, min(ctx, node.dtype.width_in_bits), out)
+    return
+  if isinstance(node, ir.Unary):
+    sub = ctx if all(op in '-~' for op in node.operator) else _EXACT
+    _walk_uses(node.operand, sub, out)
+    return
+  if isinstance(node, ir.CHAIN_CLASSES):
+    for j, opd in enumerate(node.operand):
+      _walk_uses(opd, _chain_ctx(node, j, ctx), out)
+    return
+  if isinstance(node, (ir.Call, ir.EqCmp, ir.LtCmp)):
+    for opd in getattr(node, 'operand', ()):
+      _walk_uses(opd, _EXACT, out)
+    return
+  # Var (let-bound), Let, or anything unrecognized: demand exactness
+  for attr in getattr(node, 'ATTRS', ()):
+    val = getattr(node, attr)
+    if isinstance(val, ir.Node):
+      _walk_uses(val, _EXACT, out)
+    elif isinstance(val, tuple):
+      for v in val:
+        if isinstance(v, ir.Node):
+          _walk_uses(v, _EXACT, out)
+
+
+def _sink_wraps(stencil, wrap_free: Dict[str, bool]) -> Dict[str, bool]:
+  """Mark stages whose store wrap is sunk into downstream wraps.
+
+  Processes tensors in reverse topological order, so every consumer's
+  effective wrap width is final before its producers are judged:
+  effective(C) = width(C) when C actually wraps, else the strictest
+  congruence C's own consumers demand of it (need(C)). A stage sinks
+  when need <= its width; outputs always wrap (their HBM store narrows
+  to storage width and must see the wrapped value).
+  """
+  outputs = set(stencil.output_names)
+  need: Dict[str, int] = {}
+  effective: Dict[str, int] = {}
+  sunk: Dict[str, bool] = {}
+  for tensor in reversed(list(stencil.chronological_tensors)):
+    if tensor.is_input():
+      continue
+    n = need.get(tensor.name, 0)
+    w = tensor.dtype.width_in_bits
+    ok = (not tensor.dtype.is_float and n <= w and
+          tensor.name not in outputs)
+    sunk[tensor.name] = ok
+    if ok and not wrap_free.get(tensor.name, False):
+      _logger.debug('wrap of %s sunk into consumers (need mod 2^%d)',
+                    tensor.name, n)
+    # the congruence producers must give US: our storage width when we
+    # actually apply a wrap; otherwise (wrap skipped — by sinking OR by
+    # the range-fit elision, which assumed exact producers) whatever
+    # our own consumers demand passes straight through our ring expr
+    if tensor.dtype.is_float:
+      effective[tensor.name] = _EXACT
+    elif tensor.name in outputs:
+      # a wrapping output narrows exactly; a range-elided output's
+      # astype-to-storage relies on the value being in range, which
+      # needs exact producers
+      effective[tensor.name] = (
+          _EXACT if wrap_free.get(tensor.name, False) else w)
+    elif ok or wrap_free.get(tensor.name, False):
+      effective[tensor.name] = n
+    else:
+      effective[tensor.name] = w
+    ctx = effective[tensor.name]
+    uses: Dict[str, int] = {}
+    _walk_uses(tensor.expr, ctx, uses)
+    for let in tensor.lets:
+      _walk_uses(let.expr, _EXACT, uses)
+    for parent, req in uses.items():
+      need[parent] = max(need.get(parent, 0), req)
+  return sunk
+
+
 def annotate(stencil) -> Dict[str, Range]:
   """Annotate every tensor's expression tree; returns tensor ranges.
 
@@ -181,6 +308,13 @@ def annotate(stencil) -> Dict[str, Range]:
     tr = _type_range(tensor.dtype)
     wrap_free[tensor.name] = bool(tr[0] <= r[0] and r[1] <= tr[1])
     ranges[tensor.name] = _clip_to_type(r, tensor.dtype)
+  # ...or when every consumer tolerates the unwrapped value (the ring
+  # homomorphism argument above). Note the range-fit elision of a
+  # consumer stays sound when a producer sinks: the producer only sank
+  # because that consumer's own need() chain tolerated congruence.
+  for name, ok in _sink_wraps(stencil, wrap_free).items():
+    if ok:
+      wrap_free[name] = True
   stencil._tensor_ranges = ranges
   stencil._wrap_free = wrap_free
   return ranges
