@@ -85,15 +85,16 @@ def _padded_cells(shape: Tuple[int, ...]) -> int:
   return int(np.prod(padded))
 
 
-def scratch_slots(plan: FusionPlan):
+def scratch_slots(plan: FusionPlan, skip=()):
   """Liveness-based scratch-slot assignment for stage buffers.
 
   The register-allocation analog of the reference's FIFO sizing: a
   stage's slab is live from its production to its last consumer, and
   dead slabs are reused by later same-dtype stages. Long CR chains
   (e.g. contrast's 80+ reuse variables) then need a handful of slabs
-  instead of one each. Returns (slot_of: name -> slot id,
-  slot_dtypes: list of np dtypes).
+  instead of one each. Stages in ``skip`` get no slot (chunked mode
+  stores childless outputs straight into the output block). Returns
+  (slot_of: name -> slot id, slot_dtypes: list of np dtypes).
   """
   stage_names = {s.name for s in plan.stages}
   outputs = set(plan.stencil.output_names)
@@ -106,6 +107,8 @@ def scratch_slots(plan: FusionPlan):
   slot_dtypes = []
   free: Dict[object, list] = {}
   for idx, stage in enumerate(plan.stages):
+    if stage.name in skip:
+      continue
     dt = stage.dtype.np_dtype
     pool = free.setdefault(dt, [])
     if pool:
@@ -209,7 +212,8 @@ class PallasExecutor:
                interpret: Optional[bool] = None,
                lane_shift: str = 'auto',
                stage_mode: str = 'auto',
-               mid_tile: Optional[int] = None):
+               mid_tile: Optional[int] = None,
+               compute_chunk: Optional[int] = None):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -258,6 +262,18 @@ class PallasExecutor:
         stage_mode = 'vmem'
     if stage_mode not in ('value', 'vmem'):
       raise ValueError('stage_mode must be value|vmem|auto')
+    # chunked stage evaluation: compute each stage's valid region in
+    # axis-0 sub-chunks written into its VMEM slab, so Mosaic's fold
+    # temporaries are chunk-sized instead of slab-sized. This is what
+    # makes LARGE blocks compile on wide 3-D cross-sections (the 256^3
+    # case): per-grid-step fixed costs amortize over 2-4x more rows at
+    # the same scoped-VMEM footprint. 3-D only: axis 0 there is a free
+    # plane stride, so chunk slices need no tile alignment.
+    if compute_chunk is not None:
+      if len(shape) < 3:
+        raise utils.InputError('compute_chunk applies to 3-D grids only')
+      stage_mode = 'vmem'
+    self.compute_chunk = compute_chunk
     self.stage_mode = stage_mode
     if len(self.shape) != self.plan.dim:
       raise utils.InputError('expected %d-D arrays, got %d-D' %
@@ -297,7 +313,7 @@ class PallasExecutor:
     if mid_tile is not None:
       if dim != 3:
         raise utils.InputError('mid tiling applies to 3-D grids only')
-      if self.stage_mode != 'value':
+      if self.stage_mode != 'value' and compute_chunk is None:
         raise utils.InputError('mid tiling requires stage_mode=value')
       m = self.shape[1]
       mlo = _pad_to(self.plan.halo_lo[1], _ALIGN)
@@ -461,10 +477,19 @@ class PallasExecutor:
     # per-stage wrap-elision proofs (set by ranges.annotate in make_plan)
     wrap_free = getattr(stencil, '_wrap_free', {})
     value_mode = self.stage_mode == 'value'
+    chunk = self.compute_chunk
+    # chunked mode stores childless outputs straight into the output
+    # block, so they need no slab slot
+    direct_outs = set()
+    if chunk is not None:
+      direct_outs = {
+          name for name in stencil.output_names
+          if not stencil.tensors[name].children
+      }
     if value_mode:
       slot_of, slot_dtypes = {}, []
     else:
-      slot_of, slot_dtypes = scratch_slots(plan)
+      slot_of, slot_dtypes = scratch_slots(plan, skip=direct_outs)
     lanes = rest[-1]
 
     def lane_roll(value, delta):
@@ -663,6 +688,80 @@ class PallasExecutor:
           input_vals[name] = v
         return input_vals[name], slab_margins[name]
 
+      def store_value(k, name, bases, val=None, window=None):
+        """Store the valid region of an output stage value into the
+        output block; ``bases`` maps blocked axis -> (static slab base,
+        block extent). Unblocked axes store their whole interior.
+        ``window=(off, length)`` restricts to an axis-0 sub-range of
+        the stage's region (chunked mode), with ``val`` holding just
+        those rows."""
+        if val is None:
+          val = stage_vals[name]
+        store_dt = stencil.symbol_table[name].np_dtype
+        m = slab_margins[name]
+        out_idx, val_idx = [], []
+        for a in range(dim):
+          if a in bases:
+            base, blk = bases[a]
+            jlo = max(0, m[a][0] - base)
+            jhi = min(blk, size[a] - m[a][1] - base)
+            if jlo >= jhi:
+              return  # whole block is globally-invalid border
+            v0 = base - m[a][0] + jlo
+            if a == 0 and window is not None:
+              off, length = window
+              wv0 = max(v0, off)
+              wv1 = min(v0 + (jhi - jlo), off + length)
+              if wv0 >= wv1:
+                return  # chunk misses this block entirely
+              out_idx.append(slice(jlo + (wv0 - v0), jlo + (wv1 - v0)))
+              val_idx.append(slice(wv0 - off, wv1 - off))
+            else:
+              out_idx.append(slice(jlo, jhi))
+              val_idx.append(slice(v0, v0 + (jhi - jlo)))
+          else:
+            out_idx.append(slice(m[a][0], size[a] - m[a][1]))
+            val_idx.append(slice(None))
+        val = val[tuple(val_idx)]
+        if val.dtype != store_dt:
+          # promoted-width integer value -> storage width; exact: the
+          # value is already wrapped into the storage type's range
+          val = val.astype(store_dt)
+        out_refs[k][tuple(out_idx)] = val
+
+      def class_cond(kind, p, nb):
+        if kind in (None, 'all'):
+          return None
+        if kind == 'first':
+          return p == 0
+        if kind == 'mid':
+          return jnp.logical_and(p > 0, p < nb - 1)
+        return p == nb - 1  # tail
+
+      def store_all_classes(k, name, val=None, window=None):
+        """Emit the (stream x mid) block-class-conditional stores of
+        one output value (or an axis-0 chunk of it)."""
+        for cs_kind, cs_base in stream_classes:
+          for cm_kind, cm_base in mid_classes:
+            bases = {0: (cs_base, b)}
+            if mid_blocked:
+              bases[1] = (cm_base, mt)
+            conds = [
+                c for c in (class_cond(cs_kind, i, n),
+                            class_cond(cm_kind, jm, self.grid_m))
+                if c is not None
+            ]
+            if not conds:
+              store_value(k, name, bases, val, window)
+              continue
+            cond = conds[0]
+            for extra in conds[1:]:
+              cond = jnp.logical_and(cond, extra)
+
+            @pl.when(cond)
+            def _(k=k, name=name, bases=bases, val=val, window=window):
+              store_value(k, name, bases, val, window)
+
       for stage in plan.stages:
         st_idx = stage.tensor.st_idx
         region = _region(stage.name)
@@ -687,7 +786,8 @@ class PallasExecutor:
                 value = lane_roll(value, lane_delta)
             return value
         else:
-          def load(ref: ir.Ref, _st=st_idx, _region=region):
+          def load(ref: ir.Ref, _st=st_idx, _region=region, _off=0,
+                   _len=None):
             if ref.name in stencil.param_names:
               return params[ref.name][tuple(ref.idx)]
             src, lead = parent_ref(ref.name)
@@ -695,8 +795,12 @@ class PallasExecutor:
             for a in range(n_margin_axes):
               d = dim - 1 - a
               delta = ref.idx[d] - _st[d]
-              idx.append(slice(_region[a].start + delta,
-                               _region[a].stop + delta))
+              start = _region[a].start + delta
+              stop = _region[a].stop + delta
+              if a == 0 and _len is not None:
+                start += _off
+                stop = start + _len
+              idx.append(slice(start, stop))
             if rotate_lanes:
               idx.append(slice(None))
             value = src[tuple(idx)]
@@ -709,77 +813,56 @@ class PallasExecutor:
         def param(name, idx):
           return params[name][idx]
 
-        evaluator = semantics.Evaluator(jnp, load, param=param,
-                                        fast_int_div=True,
-                                        fast_rsqrt=True)
-        value, _ = evaluator.eval_stmt(stage.tensor)
         if value_mode:
+          evaluator = semantics.Evaluator(jnp, load, param=param,
+                                          fast_int_div=True,
+                                          fast_rsqrt=True)
+          value, _ = evaluator.eval_stmt(stage.tensor)
           stage_vals[stage.name] = semantics.wrap_promoted(
               jnp, value, stage.dtype,
               wrap_free.get(stage.name, False))
+        elif chunk is not None:
+          # chunked evaluation: sub-ranges of the region's axis 0, so
+          # Mosaic's live fold temporaries are chunk-sized; childless
+          # outputs store each chunk straight into the output block
+          # (no slab slot at all)
+          direct = stage.name in direct_outs
+          extent = region[0].stop - region[0].start
+          for off in range(0, extent, chunk):
+            clen = min(chunk, extent - off)
+
+            def c_load(ref: ir.Ref, _off=off, _len=clen, _load=load):
+              return _load(ref, _off=_off, _len=_len)
+
+            evaluator = semantics.Evaluator(jnp, c_load, param=param,
+                                            fast_int_div=True,
+                                            fast_rsqrt=True)
+            value, _ = evaluator.eval_stmt(stage.tensor)
+            value = semantics.wrap(jnp, value, stage.dtype)
+            if direct:
+              store_all_classes(stencil.output_names.index(stage.name),
+                                stage.name, val=value,
+                                window=(off, clen))
+            else:
+              sub = (slice(region[0].start + off,
+                           region[0].start + off + clen),) + region[1:]
+              stage_refs[stage.name][sub] = value
+          if not direct and stage.name in stencil.output_names:
+            # the value-mode store path handles (possibly mid-blocked)
+            # output stores; feed it the finished slab region
+            stage_vals[stage.name] = stage_refs[stage.name][region]
         else:
+          evaluator = semantics.Evaluator(jnp, load, param=param,
+                                          fast_int_div=True,
+                                          fast_rsqrt=True)
+          value, _ = evaluator.eval_stmt(stage.tensor)
           stage_refs[stage.name][region] = semantics.wrap(
               jnp, value, stage.dtype)
 
-      def store_value(k, name, bases):
-        """Store the valid region of an output stage value into the
-        output block; ``bases`` maps blocked axis -> (static slab base,
-        block extent). Unblocked axes store their whole interior."""
-        val = stage_vals[name]
-        store_dt = stencil.symbol_table[name].np_dtype
-        m = slab_margins[name]
-        out_idx, val_idx = [], []
-        for a in range(dim):
-          if a in bases:
-            base, blk = bases[a]
-            jlo = max(0, m[a][0] - base)
-            jhi = min(blk, size[a] - m[a][1] - base)
-            if jlo >= jhi:
-              return  # whole block is globally-invalid border
-            out_idx.append(slice(jlo, jhi))
-            v0 = base - m[a][0] + jlo
-            val_idx.append(slice(v0, v0 + (jhi - jlo)))
-          else:
-            out_idx.append(slice(m[a][0], size[a] - m[a][1]))
-            val_idx.append(slice(None))
-        val = val[tuple(val_idx)]
-        if val.dtype != store_dt:
-          # promoted-width integer value -> storage width; exact: the
-          # value is already wrapped into the storage type's range
-          val = val.astype(store_dt)
-        out_refs[k][tuple(out_idx)] = val
-
-      def class_cond(kind, p, nb):
-        if kind in (None, 'all'):
-          return None
-        if kind == 'first':
-          return p == 0
-        if kind == 'mid':
-          return jnp.logical_and(p > 0, p < nb - 1)
-        return p == nb - 1  # tail
-
       for k, name in enumerate(stencil.output_names):
-        if value_mode:
-          for cs_kind, cs_base in stream_classes:
-            for cm_kind, cm_base in mid_classes:
-              bases = {0: (cs_base, b)}
-              if mid_blocked:
-                bases[1] = (cm_base, mt)
-              conds = [
-                  c for c in (class_cond(cs_kind, i, n),
-                              class_cond(cm_kind, jm, self.grid_m))
-                  if c is not None
-              ]
-              if not conds:
-                store_value(k, name, bases)
-                continue
-              cond = conds[0]
-              for extra in conds[1:]:
-                cond = jnp.logical_and(cond, extra)
-
-              @pl.when(cond)
-              def _(k=k, name=name, bases=bases):
-                store_value(k, name, bases)
+        if value_mode or chunk is not None:
+          if name not in direct_outs:
+            store_all_classes(k, name)
           continue
         src = stage_refs[name]
         if single:

@@ -99,3 +99,44 @@ def test_rolling_with_mid_blocking():
   region = reference.output_valid_slices(stencil, shape)
   assert_close_reference(np.asarray(got['out'])[region],
                          want['out'][region], True, 'rolling:mid')
+
+
+@pytest.mark.parametrize('chunk', [4, 8])
+def test_compute_chunked_3d(chunk):
+  """compute_chunk evaluates stage regions in axis-0 sub-chunks (the
+  VMEM-pressure escape hatch for wide 3-D cross-sections); childless
+  outputs store each chunk straight into the output block."""
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  stencil = corpus.build('jacobi3d')
+  shape = (48, 16, 128)
+  ex = PallasExecutor(stencil, shape, block_rows=8, compute_chunk=chunk)
+  assert ex.stage_mode == 'vmem'
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['t0'])[region],
+                         want['t0'][region], True, 'chunk:%d' % chunk)
+
+
+def test_compute_chunked_with_mid_blocking():
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  stencil = corpus.build('heat3d')
+  shape = (48, 64, 128)
+  ex = MidTiledPallasExecutor(stencil, shape, mid_tile=16, block_rows=8,
+                              compute_chunk=4)
+  assert ex.grid_m > 1
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['out'])[region],
+                         want['out'][region], True, 'chunk:mid')
+
+
+def test_compute_chunked_rejects_2d():
+  from soda_tpu import utils
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  stencil = corpus.build('blur')
+  with pytest.raises(utils.InputError):
+    PallasExecutor(stencil, (64, 128), compute_chunk=8)
