@@ -51,30 +51,46 @@ def peak_bandwidth(device) -> float:
 # run with computation reuse on — the DAC'20 optimization this
 # framework rebuilds ('yes' dispatches the native C++ scheduler when
 # native/build/soda-tpu-cr exists, exactly like the reference).
+# Entries: (name, shape, stencil overrides, seed executor config).
+# The seed is the measured-best config from prior tuned runs (PARITY.md
+# table) so a COLD-cache run starts at the known-good point even when
+# the probe budget runs out before late kernels get their probes; the
+# persistent autotune cache and the measured probe loop refine it.
 CONFIGS = (
-    ('blur', (8192, 2048), {'tile_size': (2048, 0)}),
-    ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)}),
-    ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
+    ('blur', (8192, 2048), {'tile_size': (2048, 0)},
+     {'block_rows': 512}),
+    ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)},
+     {'block_rows': 256}),
+    ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
+     {'block_rows': 128}),
     ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0),
-                                 'optimizations': {'distribute': True}}),
+                                 'optimizations': {'distribute': True}},
+     {'block_rows': 128}),
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
-                                                  'greedy'}}),
+                                                  'greedy'}},
+     {'block_rows': 256}),
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
-                                                 'greedy'}}),
-    ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)}),
+                                                 'greedy'}},
+     {'lane_shift': 'rotate', 'block_rows': 256}),
+    # separable factorization leaves sobel2d with 8 single-axis taps;
+    # the lane-crossing shifted load (slice) then beats the rotate
+    ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)},
+     {'lane_shift': 'slice', 'block_rows': 256}),
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
-                                               'greedy'}}),
+                                               'greedy'}},
+     {'lane_shift': 'rotate', 'block_rows': 256}),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count
     ('contrast', (32768, 512), {'tile_size': (512, 0),
                                 'optimizations': {'computation-reuse':
-                                                  'yes'}}),
-    ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)}),
-    ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}),
+                                                  'yes'}}, {}),
+    ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)},
+     {'block_rows': 128}),
+    ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}, {}),
 )
 
 
@@ -247,11 +263,12 @@ def main():
   compare_xla = __import__('os').environ.get('BENCH_XLA') == '1'
   fracs = []
   details = {}
-  for name, shape, overrides in CONFIGS:
+  for name, shape, overrides, seed in CONFIGS:
     for attempt in (1, 2):  # remote compile servers are occasionally flaky
       try:
         frac, gbps, cps, dt, speedup = bench_kernel(
-            name, shape, overrides, peak, compare_xla=compare_xla)
+            name, shape, overrides, peak, ex_opts=seed,
+            compare_xla=compare_xla)
         fracs.append(frac)
         details[name] = {'roofline_frac': round(frac, 4),
                          'gbps': round(gbps, 1),

@@ -116,6 +116,12 @@ class Stencil:
       for stmt in itertools.chain(self.local_stmts, self.output_stmts):
         stmt.expr = arithmetic.simplify(
             arithmetic.reverse_distribute(stmt.expr))
+    if self.optimizations.get('separable', 'yes') != 'no':
+      # rank-1 separable factorization of linear integer stages
+      # (bit-exact; no reference counterpart — FPGA line buffers made
+      # diagonal taps free, the TPU VPU charges per shifted read)
+      from soda_tpu.optimization import separable
+      separable.separable(self)
     inline.rebalance(self)
 
     for stmt in itertools.chain(self.local_stmts, self.output_stmts):

@@ -36,9 +36,11 @@ def test_iterate_accumulates_halo():
 
 
 def test_cluster_groups():
+  # separable factorization adds the two rank-1 1-D passes, so sobel2d
+  # lowers to 5 stages (cr_var_0, cr_var_1, mag_x, mag_y, mag)
   stencil = corpus.build('sobel2d')
   assert len(plan_mod.make_plan(stencil, 'full').groups) == 1
-  assert len(plan_mod.make_plan(stencil, 'coarse').groups) == 3
+  assert len(plan_mod.make_plan(stencil, 'coarse').groups) == 5
   with pytest.raises(ValueError):
     plan_mod.make_plan(stencil, 'autobridge')
 
@@ -54,7 +56,8 @@ def test_vmem_bytes_scales_with_block():
 def test_dot_contains_stages_and_edges():
   stencil = corpus.build('sobel2d')
   dot = plan_mod.make_plan(stencil).dot()
-  assert '"img" -> "mag_x"' in dot
+  assert '"img" -> "cr_var_0"' in dot  # separable 1-D pass
+  assert '"cr_var_0" -> "mag_x"' in dot
   assert '"mag_y" -> "mag"' in dot
 
 

@@ -1,0 +1,98 @@
+"""Rank-1 separable factorization (soda_tpu.optimization.separable)."""
+
+import numpy as np
+
+from soda_tpu import api, corpus
+from soda_tpu.backend import reference
+from soda_tpu.backend.pallas_kernel import PallasExecutor
+from soda_tpu.backend.reference import output_valid_slices
+from soda_tpu.optimization.separable import _linear_coeffs, _rank1
+
+_HEADER = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+"""
+
+
+def test_rank1_exact_integer_factorization():
+  w = {}
+  u = {-1: -1, 0: 0, 1: 1}
+  v = {-1: 1, 0: 3, 1: 1}
+  for i, ui in u.items():
+    for j, vj in v.items():
+      if ui * vj:
+        w[(i, j)] = ui * vj
+  fu, fv = _rank1(w)
+  # factorization is unique up to sign/scale; check the product
+  for (i, j), c in w.items():
+    assert fu[i] * fv[j] == c
+
+
+def test_rank1_rejects_rank2():
+  # the jacobi cross [[0,1,0],[1,1,1],[0,1,0]] has rank 2
+  w = {(0, -1): 1, (-1, 0): 1, (0, 0): 1, (1, 0): 1, (0, 1): 1}
+  assert _rank1(w) is None
+
+
+def test_linear_coeffs_handles_nesting():
+  st = api.build_stencil(_HEADER + """
+input dram 0 int16: x(128, *)
+output dram 1 int16: y(0, 0) = (x(1, 0) - x(-1, 0)) * 3 - -x(0, 1)
+""")
+  out = {}
+  assert _linear_coeffs(st.output_stmts[0].expr, 1, out)
+  assert out == {('x', (1, 0)): 3, ('x', (-1, 0)): -3, ('x', (0, 1)): 1}
+
+
+def test_sobel_factored_and_bit_exact():
+  st = corpus.build('sobel2d', tile_size=(128, 0))
+  names = [s.name for s in st.local_stmts]
+  assert any(n.startswith('cr_var') for n in names), names
+  st_plain = corpus.build('sobel2d', tile_size=(128, 0),
+                          optimizations={'separable': 'no'})
+  assert not any(n.startswith('cr_var')
+                 for n in (s.name for s in st_plain.local_stmts))
+  shape = (64, 128)
+  ins = reference.make_test_inputs(st, shape)
+  want = reference.run(st_plain, ins)
+  region = output_valid_slices(st_plain, shape, 'mag')
+  got_oracle = reference.run(st, ins)
+  got_pallas = PallasExecutor(st, shape)(ins)
+  np.testing.assert_array_equal(np.asarray(want['mag'])[region],
+                                np.asarray(got_oracle['mag'])[region])
+  np.testing.assert_array_equal(np.asarray(want['mag'])[region],
+                                np.asarray(got_pallas['mag'])[region])
+
+
+def test_float_and_small_stages_untouched():
+  # float stages are out of scope; tiny / rank-2 integer stages must
+  # not grow extra stages
+  for name in ('jacobi2d', 'blur', 'denoise2d'):
+    with_pass = corpus.build(name, tile_size=(128, 0))
+    without = corpus.build(name, tile_size=(128, 0),
+                           optimizations={'separable': 'no'})
+    assert len(with_pass.local_stmts) == len(without.local_stmts), name
+
+
+def test_rank1_with_offset_store_is_exact():
+  # non-centered offsets + a store index away from the origin
+  src = _HEADER + """
+input dram 0 int16: x(128, *)
+output dram 1 int16: y(1, 2) = x(0, 0) * 2 + x(0, 1) * 4 + x(0, 3) * 10 +
+  x(2, 0) * 3 + x(2, 1) * 6 + x(2, 3) * 15 +
+  x(4, 0) * 5 + x(4, 1) * 10 + x(4, 3) * 25
+"""
+  st = api.build_stencil(src)
+  st_plain = api.build_stencil(src, optimizations={'separable': 'no'})
+  assert len(st.local_stmts) == 1  # [2,3] x [1,2] factored
+  shape = (32, 128)
+  ins = reference.make_test_inputs(st, shape)
+  want = reference.run(st_plain, ins)
+  got = reference.run(st, ins)
+  region = output_valid_slices(st_plain, shape, 'y')
+  np.testing.assert_array_equal(np.asarray(want['y'])[region],
+                                np.asarray(got['y'])[region])
