@@ -69,7 +69,7 @@ CONFIGS = (
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
-     {'block_rows': 256}),
+     {'lane_shift': 'rotate', 'block_rows': 256}),
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},

@@ -106,6 +106,13 @@ class Stencil:
     self._cr_counter = 0
     from soda_tpu.optimization import computation_reuse as cr
     from soda_tpu.optimization import inline
+    if self.optimizations.get('separable', 'yes') != 'no':
+      # rank-1 separable factorization of linear stages, BEFORE CR so
+      # the 2-D structure is still visible (CR would rewrite the
+      # reduction into chains first). Bit-exact for integer stages; a
+      # tolerated reassociation for float ones (like rebalance/CR).
+      from soda_tpu.optimization import separable
+      separable.separable(self)
     cr.computation_reuse(self)
     if 'inline' in self.optimizations:
       inline.inline(self)
@@ -116,12 +123,6 @@ class Stencil:
       for stmt in itertools.chain(self.local_stmts, self.output_stmts):
         stmt.expr = arithmetic.simplify(
             arithmetic.reverse_distribute(stmt.expr))
-    if self.optimizations.get('separable', 'yes') != 'no':
-      # rank-1 separable factorization of linear integer stages
-      # (bit-exact; no reference counterpart — FPGA line buffers made
-      # diagonal taps free, the TPU VPU charges per shifted read)
-      from soda_tpu.optimization import separable
-      separable.separable(self)
     inline.rebalance(self)
 
     for stmt in itertools.chain(self.local_stmts, self.output_stmts):

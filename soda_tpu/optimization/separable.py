@@ -33,12 +33,13 @@ from soda_tpu.ir import nodes as ir
 
 _logger = logging.getLogger().getChild(__name__)
 
-Coeffs = Dict[Tuple[str, Tuple[int, ...]], int]
+Coeffs = Dict[Tuple[str, Tuple[int, ...]], Fraction]
 
 
-def _linear_coeffs(node: ir.Node, scale: int, out: Coeffs) -> bool:
-  """Accumulate integer coefficients per (parent, idx); False = the
-  expression is not an integer-linear combination of refs."""
+def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs) -> bool:
+  """Accumulate coefficients per (parent, idx) as exact Fractions
+  (float literals convert exactly — binary floats are rationals);
+  False = the expression is not a linear combination of refs."""
   if isinstance(node, ir.Ref):
     if node.lat is not None:
       return False
@@ -65,9 +66,7 @@ def _linear_coeffs(node: ir.Node, scale: int, out: Coeffs) -> bool:
     body = None
     for opd in node.operand:
       if isinstance(opd, ir.Num):
-        if not isinstance(opd.value, int):
-          return False
-        scale *= opd.value
+        scale *= Fraction(opd.value)
       elif body is None:
         body = opd
       else:
@@ -115,12 +114,19 @@ def _rank1(matrix: Dict[Tuple[int, int], int]
   return u, v
 
 
-def _term(coeff: int, ref: ir.Node) -> ir.Node:
+def _term(coeff, ref: ir.Node) -> ir.Node:
   if coeff == 1:
     return ref
   if coeff == -1:
     return ir.Unary(operator=('-',), operand=ref)
-  return ir.MulDiv(operator=('*',), operand=(ir.make_num(coeff), ref))
+  if isinstance(coeff, Fraction) and coeff.denominator != 1:
+    # non-integer coefficient: emit the (float32) literal; the rewrite
+    # is float reassociation, tolerated like rebalance/CR on floats
+    from soda_tpu.ir.types import Type
+    num = ir.make_num(float(coeff), Type('float'))
+  else:
+    num = ir.make_num(int(coeff))
+  return ir.MulDiv(operator=('*',), operand=(num, ref))
 
 
 def _sum_terms(terms) -> ir.Node:
@@ -142,11 +148,11 @@ def separable(stencil) -> None:
     coeffs: Coeffs = {}
     if not _linear_coeffs(stmt.expr, 1, coeffs):
       continue
-    by_parent: Dict[str, Dict[Tuple[int, int], int]] = {}
+    by_parent: Dict[str, Dict[Tuple[int, int], Fraction]] = {}
     types_ok = True
     for (name, idx), c in coeffs.items():
       dtype = stencil.symbol_table.get(name)
-      if dtype is None or dtype.is_float or name in stencil.param_names:
+      if dtype is None or name in stencil.param_names:
         types_ok = False
         break
       by_parent.setdefault(name, {})[tuple(idx)] = c
@@ -160,7 +166,12 @@ def separable(stencil) -> None:
       d1 = {j for (_, j), _ in taps}
       factored = None
       if len(taps) >= 4 and len(d0) >= 2 and len(d1) >= 2:
-        factored = _rank1(matrix)
+        # scale the rational matrix to integers (exact: float literals
+        # are rationals); the residue 1/L becomes one scalar multiply
+        lcm = 1
+        for _, c in taps:
+          lcm = lcm * c.denominator // gcd(lcm, c.denominator)
+        factored = _rank1({ij: int(c * lcm) for ij, c in taps})
       if factored is None:
         rebuilt.extend(
             _term(c, ir.Ref(name=name, idx=ij, lat=None))
@@ -176,9 +187,30 @@ def separable(stencil) -> None:
             _term(c, ir.Ref(name=name, idx=ij, lat=None))
             for ij, c in sorted(taps))
         continue
+      if lcm != 1:
+        # pull the common factor out of u so the residual scalar is a
+        # SINGLE multiply: u = g * u' (primitive); scalar = g / lcm
+        # (for seidel-like uniform windows this reconstructs the
+        # original literal exactly: sum * .1111111f)
+        g_u = 0
+        for c in u.values():
+          g_u = gcd(g_u, abs(c))
+        u = {i: c // g_u for i, c in u.items()}
+        scale_frac = Fraction(g_u, lcm)
+      else:
+        scale_frac = Fraction(1)
+      parent_dtype = stencil.symbol_table[name]
+      is_int = not parent_dtype.is_float
+      if is_int and lcm != 1:
+        # fractional coefficients on an integer parent: mixed-type
+        # arithmetic whose rounding we will not re-associate
+        rebuilt.extend(
+            _term(c, ir.Ref(name=name, idx=ij, lat=None))
+            for ij, c in sorted(taps))
+        continue
       changed = True
       sep = stencil.new_cr_var()
-      sep_dtype = promote(stencil.symbol_table[name])
+      sep_dtype = promote(parent_dtype) if is_int else parent_dtype
       sep_expr = arithmetic.simplify(stencil.propagate_type(_sum_terms(
           _term(c, ir.Ref(name=name, idx=(0, j), lat=None))
           for j, c in sorted(v.items()))))
@@ -186,9 +218,14 @@ def separable(stencil) -> None:
           ast.LocalStmt(ref=ir.Ref(name=sep, idx=(0, 0), lat=None),
                         dtype=sep_dtype, expr=sep_expr, let=(),
                         stencil=stencil))
-      rebuilt.extend(
+      core = _sum_terms(
           _term(c, ir.Ref(name=sep, idx=(i, 0), lat=None))
           for i, c in sorted(u.items()))
+      if scale_frac != 1:
+        from soda_tpu.ir.types import Type
+        scale = ir.make_num(float(scale_frac), Type('float'))
+        core = ir.MulDiv(operator=('*',), operand=(core, scale))
+      rebuilt.append(core)
       _logger.info(
           'separable: %s reads %s as a rank-1 [%s] x [%s] pair (%s)',
           stmt.name, name,

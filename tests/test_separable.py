@@ -96,3 +96,36 @@ output dram 1 int16: y(1, 2) = x(0, 0) * 2 + x(0, 1) * 4 + x(0, 3) * 10 +
   region = output_valid_slices(st_plain, shape, 'y')
   np.testing.assert_array_equal(np.asarray(want['y'])[region],
                                 np.asarray(got['y'])[region])
+
+
+def test_seidel_float_rank1_factored_within_tolerance():
+  """The 3x3 uniform float window factors as [1,1,1] x [1,1,1] with
+  the original literal reconstructed exactly as ONE scalar multiply;
+  results differ from the unfactored program only by reassociation
+  rounding (the same license rebalance and CR take on floats)."""
+  st = corpus.build('seidel2d', tile_size=(128, 0))
+  assert any(s.name.startswith('cr_var') for s in st.local_stmts)
+  assert '.1111111f' in str(st) or '0.1111111' in str(st)
+  st_plain = corpus.build('seidel2d', tile_size=(128, 0),
+                          optimizations={'separable': 'no'})
+  shape = (64, 128)
+  ins = reference.make_test_inputs(st, shape)
+  want = reference.run(st_plain, ins)
+  got = reference.run(st, ins)
+  region = output_valid_slices(st_plain, shape, 'output')
+  w = np.asarray(want['output'])[region]
+  g = np.asarray(got['output'])[region]
+  rel = np.abs(w - g) / (np.abs(w) + 1e-9)
+  assert rel.max() < 1e-5
+
+
+def test_int_parent_with_fractional_coeffs_untouched():
+  # mixed int-parent / float-coefficient stages are skipped (their
+  # rounding order is not ours to re-associate)
+  st = api.build_stencil(_HEADER + """
+input dram 0 int16: x(128, *)
+output dram 1 float: y(0, 0) = (x(0, 0) + x(0, 1) + x(0, 3) +
+  x(2, 0) + x(2, 1) + x(2, 3) +
+  x(4, 0) + x(4, 1) + x(4, 3)) * 0.25f
+""")
+  assert not st.local_stmts
