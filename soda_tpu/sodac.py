@@ -60,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
   opt.add_argument('--inline', action='store_true')
   opt.add_argument('--distribute', action='store_true',
                    help='factor shared coefficients: a*c + b*c -> (a+b)*c')
+  opt.add_argument('--no-separable', action='store_true',
+                   help='disable rank-1 separable factorization of '
+                        'linear stages (on by default)')
 
   backend = parser.add_argument_group('backends')
   backend.add_argument('--emit-jax', metavar='FILE',
@@ -138,6 +141,8 @@ def main(argv: Optional[list] = None) -> int:
     optimizations['inline'] = True
   if args.distribute:
     optimizations['distribute'] = True
+  if args.no_separable:
+    optimizations['separable'] = 'no'
   if optimizations:
     overrides['optimizations'] = optimizations
 
