@@ -123,6 +123,17 @@ def wrap_promoted(xp, value, dtype: Type, wrap_free: bool = False):
   return value
 
 
+def _pow2_exponent(node) -> 'Optional[int]':
+  """k if ``node`` is the positive integer literal 2^k (k >= 1)."""
+  while isinstance(node, ir.CHAIN_CLASSES) and len(node.operand) == 1:
+    node = node.operand[0]
+  if isinstance(node, ir.Num) and isinstance(node.value, int):
+    v = node.value
+    if v >= 2 and (v & (v - 1)) == 0:
+      return v.bit_length() - 1
+  return None
+
+
 def c_int_div(xp, a, b):
   """C integer division: truncation toward zero (ISO C99 §6.5.5)."""
   q = a // b
@@ -262,8 +273,20 @@ class Evaluator:
       elif op == '*':
         acc = acc * val
       elif op == '/':
+        k = _pow2_exponent(opd) if self.fast_int_div else None
         if out.is_float:
           acc = acc / val
+        elif k is not None:
+          # division by a constant 2^k: exact truncating shift (the
+          # bias rounds negatives toward zero, ISO C99 §6.5.5) — the
+          # VPU has no integer divider, so the general lowering is a
+          # long op sequence; this is 1-3 cheap ALU ops
+          if out.is_signed:
+            bias = xp.right_shift(acc, out.width_in_bits - 1) & \
+                ((1 << k) - 1)
+            acc = xp.right_shift(acc + bias, k)
+          else:
+            acc = xp.right_shift(acc, k)
         elif div_ok is not None and pos < len(div_ok) and div_ok[pos]:
           # provably exact in float32 (see optimization/ranges.py)
           f32 = Type('float').np_dtype

@@ -179,6 +179,11 @@ class _SourceXp:
   logical_not = _fn1('logical_not')
   del _fn1
 
+  def right_shift(self, a, k):
+    kn = k.name if isinstance(k, _Sym) else repr(k)
+    return self.temp('%s.right_shift(%s, %s)' % (self.prefix, a.name, kn),
+                     a.dtype)
+
   def minimum(self, a, b):
     return self.temp('%s.minimum(%s, %s)' % (self.prefix, a.name, b.name), a.dtype)
 

@@ -105,3 +105,35 @@ def test_wrap_promoted_trunc_toward_zero():
   v = np.array([2.9, -2.9, 0.5, -0.5], np.float32)
   got = wrap_promoted(np, v, Type('int16'))
   np.testing.assert_array_equal(got, [2, -2, 0, 0])
+
+
+def test_pow2_div_shift_matches_c_division():
+  """fast_int_div's 2^k shift path must equal C truncating division for
+  all sign combinations (oracle keeps c_int_div, so executors verify
+  this differentially end to end; this is the direct unit check)."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend.semantics import Evaluator, c_int_div
+  from soda_tpu.ir import nodes as ir
+  from soda_tpu.ir.types import Type
+
+  rng = np.random.default_rng(0)
+  vals = np.concatenate([
+      rng.integers(-2**31, 2**31 - 1, 1000, dtype=np.int64),
+      np.array([0, 1, -1, 255, -255, 256, -256, 2**31 - 1, -2**31]),
+  ]).astype(np.int32)
+  for k in (1, 8, 16):
+    expr = api.build_stencil("""
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 int32: x(128, *)
+output dram 1 int32: y(0, 0) = x(0, 0) / %d
+""" % (1 << k)).output_stmts[0].expr
+    ev = Evaluator(np, lambda ref: vals, fast_int_div=True)
+    got, _ = ev.eval(expr)
+    want = c_int_div(np, vals, np.int32(1 << k))
+    np.testing.assert_array_equal(got, want)
