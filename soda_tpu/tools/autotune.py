@@ -73,7 +73,21 @@ def _time_config(stencil, shape, cfg: Dict, reps: int = 2) -> float:
 
 
 def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
+  from soda_tpu.backend import pallas_fits
   from soda_tpu.backend.pallas_kernel import PallasExecutor
+  if len(shape) == 3 and not pallas_fits(stencil, shape):
+    # oversized cross-section: the config space is mid tiling x
+    # stream block x chunked stage evaluation (compute_chunk bounds
+    # Mosaic's fold temporaries, unlocking larger blocks)
+    cands = []
+    for mt in (32, 64, 128):
+      if mt >= shape[1]:
+        continue
+      cands.append({'mid_tile': mt})
+      cands.append({'mid_tile': mt, 'block_rows': 16})
+      cands.append({'mid_tile': mt, 'block_rows': 32,
+                    'compute_chunk': 8})
+    return tuple(cands)
   base = PallasExecutor(stencil, shape)  # estimator's pick
   cands = [{'block_rows': base.block_rows}]
   for mult in (2, 4):

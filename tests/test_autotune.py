@@ -66,3 +66,15 @@ def test_tuned_executor_matches_oracle(tmp_path, monkeypatch):
   region = reference.output_valid_slices(stencil, shape)
   assert np.array_equal(np.asarray(got['blur_y'])[region],
                         want['blur_y'][region])
+
+
+def test_candidates_for_oversized_3d_cross_section():
+  # a cross-section beyond the VMEM budget must yield mid-tiling
+  # candidates (including chunked evaluation) instead of crashing on
+  # the estimator gate
+  from soda_tpu import corpus
+  from soda_tpu.tools.autotune import candidate_configs
+  stencil = corpus.build('jacobi3d', tile_size=(512, 512, 0))
+  cands = candidate_configs(stencil, (64, 512, 512))
+  assert cands and all('mid_tile' in c for c in cands)
+  assert any('compute_chunk' in c for c in cands)
