@@ -184,8 +184,11 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     ttable[tkey] = {'stencil': stencil.app_name, 'shape': list(shape),
                     'device': getattr(jax.devices()[0], 'device_kind',
                                       '?'),
-                    # {} = the estimator's own pick won this run
-                    'config': best_cand,
+                    # the FULL measured config (seed merged with the
+                    # winning candidate) — the cache is shared with
+                    # tools/autotune.py, which must reconstruct exactly
+                    # what was timed
+                    'config': {**ex_opts, **best_cand},
                     'ms': round(dt * 1e3, 4)}
     autotune._store(tpath, ttable)
   except OSError:

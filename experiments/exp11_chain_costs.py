@@ -81,8 +81,8 @@ def main():
         log('%-14s %-6s: %.3f ms frac=%.3f (~%.0f slots/cell)' %
             (tag, mode, dt * 1e3, frac, slots))
       except Exception as e:  # noqa: BLE001
-        log('%s %s FAILED: %s' % (tag, mode,
-                                  str(e).splitlines()[0][:110]))
+        first = (str(e).splitlines() or [repr(e)])[0]
+        log('%s %s FAILED: %s' % (tag, mode, first[:110]))
 
 
 if __name__ == '__main__':

@@ -107,16 +107,15 @@ def scratch_slots(plan: FusionPlan, skip=()):
   slot_dtypes = []
   free: Dict[object, list] = {}
   for idx, stage in enumerate(plan.stages):
-    if stage.name in skip:
-      continue
-    dt = stage.dtype.np_dtype
-    pool = free.setdefault(dt, [])
-    if pool:
-      slot = pool.pop()
-    else:
-      slot = len(slot_dtypes)
-      slot_dtypes.append(dt)
-    slot_of[stage.name] = slot
+    if stage.name not in skip:
+      dt = stage.dtype.np_dtype
+      pool = free.setdefault(dt, [])
+      if pool:
+        slot = pool.pop()
+      else:
+        slot = len(slot_dtypes)
+        slot_dtypes.append(dt)
+      slot_of[stage.name] = slot
     # parents whose last consumer is this stage free up for the NEXT
     # stage (never for this one: their reads must complete first);
     # outputs stay live to the final store
@@ -272,6 +271,9 @@ class PallasExecutor:
     if compute_chunk is not None:
       if len(shape) < 3:
         raise utils.InputError('compute_chunk applies to 3-D grids only')
+      if not isinstance(compute_chunk, int) or compute_chunk < 1:
+        raise utils.InputError('compute_chunk must be a positive int, '
+                               'got %r' % (compute_chunk,))
       stage_mode = 'vmem'
     self.compute_chunk = compute_chunk
     self.stage_mode = stage_mode

@@ -155,6 +155,14 @@ def separable(stencil) -> None:
       if dtype is None or name in stencil.param_names:
         types_ok = False
         break
+      # a factoring of ANY parent rebuilds the whole statement from
+      # the collapsed coefficients; for an integer parent that is only
+      # exact (mod-2^n reassociation) when its coefficients are
+      # integers, so a fractional coefficient on an int parent bails
+      # the entire statement — not just that parent's factoring
+      if not dtype.is_float and c.denominator != 1:
+        types_ok = False
+        break
       by_parent.setdefault(name, {})[tuple(idx)] = c
     if not types_ok:
       continue

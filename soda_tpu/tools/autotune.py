@@ -80,14 +80,16 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
     # stream block x chunked stage evaluation (compute_chunk bounds
     # Mosaic's fold temporaries, unlocking larger blocks)
     cands = []
-    for mt in (32, 64, 128):
-      if mt >= shape[1]:
-        continue
+    mts = [mt for mt in (8, 16, 32, 64, 128) if mt < shape[1]]
+    for mt in mts[-3:]:  # the largest applicable tiles
       cands.append({'mid_tile': mt})
-      cands.append({'mid_tile': mt, 'block_rows': 16})
+      # chunked evaluation bounds Mosaic's fold temporaries, making
+      # larger stream blocks compile; also the fallback when the auto
+      # stage-mode policy picks vmem (plain mid tiling needs value)
+      cands.append({'mid_tile': mt, 'compute_chunk': 8})
       cands.append({'mid_tile': mt, 'block_rows': 32,
                     'compute_chunk': 8})
-    return tuple(cands)
+    return tuple(cands) or ({},)
   base = PallasExecutor(stencil, shape)  # estimator's pick
   cands = [{'block_rows': base.block_rows}]
   for mult in (2, 4):

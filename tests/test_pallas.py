@@ -140,3 +140,42 @@ def test_compute_chunked_rejects_2d():
   stencil = corpus.build('blur')
   with pytest.raises(utils.InputError):
     PallasExecutor(stencil, (64, 128), compute_chunk=8)
+
+
+def test_compute_chunk_validation():
+  from soda_tpu import utils
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  stencil = corpus.build('jacobi3d')
+  for bad in (0, -8, 'x'):
+    with pytest.raises(utils.InputError):
+      PallasExecutor(stencil, (48, 16, 128), block_rows=8,
+                     compute_chunk=bad)
+
+
+def test_scratch_slots_freed_through_skipped_outputs():
+  # a skipped (direct-store) output must still release its parents'
+  # slabs for reuse by later same-dtype stages
+  from soda_tpu.backend.pallas_kernel import scratch_slots
+  from soda_tpu.backend.plan import make_plan
+  from soda_tpu import api
+  st = api.build_stencil("""
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(128, 16, *)
+local float: a(0, 0, 0) = x(0, 0, 0) + x(0, 0, 1)
+output dram 1 float: y(0, 0, 0) = a(0, 0, 0) + a(0, 0, 1)
+local float: b(0, 0, 0) = x(0, 1, 0) + x(1, 0, 0)
+output dram 2 float: z(0, 0, 0) = b(0, 0, 0) + b(0, 1, 0)
+""")
+  plan = make_plan(st, 'full')
+  # force the order where the skipped output is the freeing point
+  by_name = {s.name: s for s in plan.stages}
+  plan.stages = [by_name[n] for n in ('a', 'y', 'b', 'z')]
+  slot_of, slot_dtypes = scratch_slots(plan, skip={'y', 'z'})
+  # with y/z skipped, b must reuse a's slab (a dies at y)
+  assert len(slot_dtypes) == 1
+  assert slot_of['a'] == slot_of['b']

@@ -129,3 +129,22 @@ output dram 1 float: y(0, 0) = (x(0, 0) + x(0, 1) + x(0, 3) +
   x(4, 0) + x(4, 1) + x(4, 3)) * 0.25f
 """)
   assert not st.local_stmts
+
+
+def test_mixed_parent_fractional_int_coeff_bails_whole_stmt():
+  """A fractional coefficient on an INT parent must bail the ENTIRE
+  statement: factoring any other parent would rebuild the int taps
+  from collapsed float coefficients, re-associating arithmetic the
+  pass promises not to touch (code-review regression)."""
+  src = _HEADER + """
+input dram 0 int16: a(128, *)
+input dram 0 int16: b(128, *)
+output dram 1 float: y(0, 0) = a(0, 0) * 2 + a(0, 1) * 4 + a(0, 3) * 10 +
+  a(2, 0) * 3 + a(2, 1) * 6 + a(2, 3) * 15 +
+  a(4, 0) * 5 + a(4, 1) * 10 + a(4, 3) * 25 +
+  (b(0, 0) + b(0, 1)) * 0.2f
+"""
+  st = api.build_stencil(src)
+  assert not st.local_stmts  # nothing factored; statement untouched
+  st_plain = api.build_stencil(src, optimizations={'separable': 'no'})
+  assert str(st.output_stmts[0].expr) == str(st_plain.output_stmts[0].expr)
