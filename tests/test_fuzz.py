@@ -164,3 +164,79 @@ def test_fuzz_sharded(seed):
       np.asarray(got['out'])[region], want['out'][region],
       stencil.symbol_table['out'].is_float,
       'sharded seed=%d\n%s' % (seed, program))
+
+
+def gen_linear_program(rng: np.random.Generator) -> str:
+  """Programs aimed at the pass pipeline's newest surface: rank-1
+  separable grids (sometimes perturbed off rank 1), overflow-prone sum
+  chains (wrap sinking), and constant-division tails (pow2 shift vs
+  general C division)."""
+  is_float = bool(rng.integers(0, 4) == 0)
+  in_type = 'float' if is_float else \
+      ('int16', 'uint16', 'int32')[rng.integers(0, 3)]
+
+  def coeff():
+    return int(rng.integers(-3, 4)) or 1
+
+  d0s = sorted(rng.choice(range(-2, 3), size=int(rng.integers(2, 4)),
+                          replace=False))
+  d1s = sorted(rng.choice(range(-2, 3), size=int(rng.integers(2, 4)),
+                          replace=False))
+  u = {i: coeff() for i in d0s}
+  v = {j: coeff() for j in d1s}
+  taps = ['src(%d, %d) * %d' % (i, j, u[i] * v[j])
+          for i in d0s for j in d1s]
+  if rng.integers(0, 3) == 0:  # perturb off rank-1
+    taps.append('src(%d, %d) * %d' % (int(rng.integers(-2, 3)),
+                                      int(rng.integers(-2, 3)), coeff()))
+  rng.shuffle(taps)
+  t0 = ' + '.join(taps)
+  if is_float:
+    t0 = '(%s) * 0.25f' % t0
+
+  lines = [
+      'kernel: fuzz', 'burst width: 64', 'unroll factor: 1',
+      'iterate: 1', 'border: ignore', 'cluster: none',
+      'input dram 0 %s: src(64, *)' % in_type,
+      'local %s: t0(0, 0) = %s' % (in_type, t0),
+  ]
+  # consumer chain: sums at shifted offsets (overflow-prone at int16),
+  # optionally ending in a constant division
+  chain = 't0(0, 0) + t0(1, 0) + t0(0, 1) + t0(1, 1)'
+  if not is_float and rng.integers(0, 2):
+    div = (2, 4, 8, 256, 3, 7)[rng.integers(0, 6)]
+    chain = '(%s) / %d' % (chain, div)
+  if rng.integers(0, 3) == 0:
+    chain = 'min(%s, t0(-1, 0))' % chain
+  lines.append('output dram 1 %s: out(0, 0) = %s' % (in_type, chain))
+  return '\n'.join(lines)
+
+
+@pytest.mark.parametrize('seed', range(63, 95))
+def test_fuzz_pass_soundness_vs_unfactored_oracle(seed):
+  """The strongest contract check: the FULL pipeline (separable
+  factorization + wrap sinking + pow2-shift division in the Pallas
+  executor) against the oracle of the UNFACTORED program. Integer
+  programs must be bit-exact end to end; float programs stay within
+  the reference THRESHOLD (factorization is reassociation)."""
+  rng = np.random.default_rng(seed)
+  program = gen_linear_program(rng)
+  try:
+    factored = build_stencil(program)
+    plain = build_stencil(program, optimizations={'separable': 'no'})
+  except Exception as e:
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (24, 64)
+  inputs = reference.make_test_inputs(plain, shape, seed=seed)
+  want = reference.run(plain, inputs)
+  region_p = reference.output_valid_slices(plain, shape)
+  region_f = reference.output_valid_slices(factored, shape)
+  region = tuple(slice(max(a.start, b.start), min(a.stop, b.stop))
+                 for a, b in zip(region_p, region_f))
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  is_float = plain.symbol_table['out'].is_float
+  got = PallasExecutor(factored, shape)(inputs)
+  assert_close_reference(
+      np.asarray(got['out'])[region], want['out'][region], is_float,
+      'pass-soundness seed=%d\n%s' % (seed, program))
