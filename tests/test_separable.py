@@ -148,3 +148,19 @@ output dram 1 float: y(0, 0) = a(0, 0) * 2 + a(0, 1) * 4 + a(0, 3) * 10 +
   assert not st.local_stmts  # nothing factored; statement untouched
   st_plain = api.build_stencil(src, optimizations={'separable': 'no'})
   assert str(st.output_stmts[0].expr) == str(st_plain.output_stmts[0].expr)
+
+
+def test_preserve_border_with_factored_stages():
+  """border: preserve must stay bit-exact when stages are factored
+  (the factorization preserves the overall stencil window, so the
+  preserved boundary region is identical)."""
+  st = corpus.build('sobel2d', tile_size=(128, 0), border='preserve')
+  st_plain = corpus.build('sobel2d', tile_size=(128, 0),
+                          border='preserve',
+                          optimizations={'separable': 'no'})
+  shape = (48, 128)
+  ins = reference.make_test_inputs(st, shape)
+  want = reference.run(st_plain, ins)
+  got = PallasExecutor(st, shape)(ins)
+  np.testing.assert_array_equal(np.asarray(want['mag']),
+                                np.asarray(got['mag']))
