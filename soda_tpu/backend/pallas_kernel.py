@@ -248,6 +248,8 @@ class PallasExecutor:
           return node
 
         stage.tensor.expr.visit(chain_width)
+        for let in stage.tensor.lets:
+          let.expr.visit(chain_width)
         if widest[0] > 12:
           stage_mode = 'vmem'
           break

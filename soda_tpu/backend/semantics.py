@@ -219,6 +219,15 @@ class Evaluator:
       return wrap(xp, value, node.dtype), node.dtype
     if isinstance(node, ir.Unary):
       value, dtype = self.eval(node.operand)
+      if (dtype is not None and not dtype.is_float and
+          any(op in '-~' for op in node.operator)):
+        # C integer promotion applies to unary operands too
+        # (C11 §6.5.3.3): -uint16(1) is -(int)1 == -1, not 65535
+        ptype = promote(dtype)
+        if ptype.width_in_bits != dtype.width_in_bits or \
+            ptype.is_signed != dtype.is_signed:
+          value = _as(xp, value, ptype)
+          dtype = ptype
       for op in reversed(node.operator):
         if op == '-':
           value = -value

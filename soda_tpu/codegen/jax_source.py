@@ -70,6 +70,10 @@ class _Sym:
   def __truediv__(self, o):
     return self._bin('/', o)
 
+  def __rtruediv__(self, o):
+    # the rsqrt intrinsic evaluates as ``1 / sqrt(x)``
+    return self._rbin('/', o)
+
   def __floordiv__(self, o):
     return self._bin('//', o)
 
@@ -319,8 +323,16 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
         '      for a, s in enumerate(shape)).astype(np.%s)\n' %
         (name, t.np_dtype.name))
   for stmt in stencil.param_stmts:
-    w('  %s = rng.random(%r).astype(np.%s)\n' %
-      (_py_name(stmt.name), tuple(stmt.size), stmt.dtype.np_dtype.name))
+    if stmt.dtype.is_float:
+      w('  %s = rng.random(%r).astype(np.%s)\n' %
+        (_py_name(stmt.name), tuple(stmt.size), stmt.dtype.np_dtype.name))
+    else:
+      # integer params as ramps (uniform [0,1) floats truncate to 0);
+      # mirrors reference-style deterministic test params
+      w('  %s = (np.arange(np.prod(%r)).reshape(%r) %% 7 + 1)'
+        '.astype(np.%s)\n' %
+        (_py_name(stmt.name), tuple(stmt.size), tuple(stmt.size),
+         stmt.dtype.np_dtype.name))
   w('  outs = forward(%s)\n' % in_args)
   w('  for name, arr in outs.items():\n')
   if target == 'jax':

@@ -71,10 +71,10 @@ def device_params(device=None) -> Tuple[str, float, float]:
   return (kind or DEFAULT_DEVICE[0], DEFAULT_DEVICE[1], DEFAULT_DEVICE[2])
 
 
-def count_ops(stencil) -> Dict[str, float]:
-  """Per-output-cell operation counts summed over all stages."""
-  counts = {'add': 0, 'mul': 0, 'div': 0, 'minmax': 0,
-            'transcendental': 0, 'other': 0}
+def _count_ops_into(counts: Dict[str, float], *nodes) -> None:
+  """Accumulate arithmetic op counts of expression trees (shared by
+  the whole-program roofline and the per-stage op model — one
+  classification, no drift)."""
 
   def visit(node, _):
     if isinstance(node, ir.AddSub):
@@ -91,36 +91,27 @@ def count_ops(stencil) -> Dict[str, float]:
         counts['transcendental'] += 1
     return node
 
+  for node in nodes:
+    node.visit(visit)
+
+
+def _zero_counts() -> Dict[str, float]:
+  return {'add': 0, 'mul': 0, 'div': 0, 'minmax': 0,
+          'transcendental': 0, 'other': 0}
+
+
+def count_ops(stencil) -> Dict[str, float]:
+  """Per-output-cell operation counts summed over all stages."""
+  counts = _zero_counts()
   for stmt in stencil.local_stmts + stencil.output_stmts:
-    stmt.expr.visit(visit)
-    for let in stmt.let:
-      let.visit(visit)
+    _count_ops_into(counts, stmt.expr, *stmt.let)
   return counts
 
 
 def _stage_op_counts(tensor) -> Dict[str, float]:
   """Arithmetic op counts of one stage's expression."""
-  counts = {'add': 0, 'mul': 0, 'div': 0, 'minmax': 0,
-            'transcendental': 0, 'other': 0}
-
-  def visit(node, _):
-    if isinstance(node, ir.AddSub):
-      counts['add'] += len(node.operator)
-    elif isinstance(node, ir.MulDiv):
-      for op in node.operator:
-        counts['mul' if op == '*' else 'div'] += 1
-    elif isinstance(node, ir.Call):
-      if node.name in ('min', 'max'):
-        counts['minmax'] += len(node.operand) - 1
-      elif node.name in ('select', 'abs'):
-        counts['other'] += 1
-      else:
-        counts['transcendental'] += 1
-    return node
-
-  for let in tensor.lets:
-    let.visit(visit)
-  tensor.expr.visit(visit)
+  counts = _zero_counts()
+  _count_ops_into(counts, tensor.expr, *tensor.lets)
   return counts
 
 

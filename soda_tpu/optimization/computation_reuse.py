@@ -142,16 +142,23 @@ def computation_reuse(stencil):
 
   new_local_stmts = []
   cses: Dict[ir.Node, ir.Ref] = OrderedDict()
-  seen = set()
+  emitted: Dict[str, object] = {}  # cr_var name -> its LocalStmt
   for stmt in itertools.chain(stencil.local_stmts, stencil.output_stmts):
     stmt.propagate_type()
     stmt.expr = stmt.expr.visit(cr_visitor, cses)
     stmt.let = tuple(let.visit(cr_visitor, cses) for let in stmt.let)
+    # one LocalStmt per cr_var NAME: a later statement's absolute CSE
+    # may re-key an earlier definition (it then reads the shared
+    # coefficient variables) or add a new variable whose definition
+    # happens to equal an existing one — dedup by name, not expression
     for expr, ref in cses.items():
-      if expr in seen:
+      prev = emitted.get(ref.name)
+      if prev is not None and prev.expr == expr:
         continue
-      seen.add(expr)
       expr = stencil.propagate_type(expr, stmt)
+      if prev is not None:
+        prev.expr = expr
+        continue
       # record the new variable's type so later vars / stmts referencing
       # it propagate correctly (bottom-up insertion order guarantees
       # dependees come first)
@@ -159,6 +166,7 @@ def computation_reuse(stencil):
       new_local_stmts.append(
           ast.LocalStmt(ref=ref, dtype=expr.dtype, expr=expr, let=stmt.let,
                         stencil=stencil))
+      emitted[ref.name] = new_local_stmts[-1]
       _logger.debug('computation reuse stmt: %s', new_local_stmts[-1])
   stencil.local_stmts.extend(new_local_stmts)
 

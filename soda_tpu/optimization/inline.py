@@ -43,22 +43,55 @@ def _load_sites(stencil) -> Dict[str, List[Tuple[object, List[ir.Ref]]]]:
   return sites
 
 
+def _rename_vars(node: ir.Node, renames: Dict[str, str]) -> ir.Node:
+  def rename(n, _):
+    if isinstance(n, ir.Var) and not n.idx and n.name in renames:
+      return ir.Var(name=renames[n.name], idx=(), dtype=n.dtype)
+    return n
+
+  return node.visit(rename)
+
+
 def _fold(producer, consumer, refs: List[ir.Ref]) -> None:
   """Substitute every listed load of ``producer`` inside ``consumer``
-  with the producer's expression, shifted to the load's offset. The
-  producer's lets are prepended (shifted alongside)."""
+  with the producer's expression, shifted to the load's offset.
+
+  Each load site gets its OWN copy of the producer's lets, shifted to
+  that site's offset and renamed unique (producer let scopes are per
+  statement; a single shared copy would evaluate every site's lets at
+  one offset, and unrenamed vars could collide with — and be rebound
+  by — the consumer's own lets)."""
   table: Dict[ir.Node, ir.Node] = {}
-  hoisted = ()
-  for ref in refs:
+  hoisted: List[ir.Let] = []
+  consumer_lets = {let.name for let in consumer.let}
+  # reference parity keeps let names for the common single-site fold
+  # (its test asserts the exact folded statement text); renaming is
+  # only forced by multiple sites or a consumer-name collision
+  must_rename = (len(refs) > 1 or
+                 any(let.name in consumer_lets for let in producer.let))
+  for site, ref in enumerate(refs):
     delta = tuple(p - r for p, r in zip(producer.ref.idx, ref.idx))
-    table[mutator.shift(producer.ref, delta)] = \
-        mutator.shift(producer.expr, delta)
-    hoisted = tuple(mutator.shift(let, delta) for let in producer.let)
+    body = mutator.shift(producer.expr, delta)
+    if producer.let:
+      renames = {}
+      if must_rename:
+        renames = {
+            let.name: '%s__%s%d' % (let.name, producer.name, site)
+            for let in producer.let
+        }
+      for let in producer.let:
+        shifted = mutator.shift(let, delta)
+        hoisted.append(
+            ir.Let(name=renames.get(let.name, let.name),
+                   expr=_rename_vars(shifted.expr, renames),
+                   dtype=shifted.dtype))
+      body = _rename_vars(body, renames)
+    table[mutator.shift(producer.ref, delta)] = body
 
   def substitute(node, _):
     return table.get(node, node)
 
-  consumer.let = hoisted + tuple(
+  consumer.let = tuple(hoisted) + tuple(
       let.visit(substitute) for let in consumer.let)
   consumer.expr = consumer.expr.visit(substitute)
 
@@ -192,10 +225,18 @@ def rebalance(stencil):
     spills = []
     for group in groups[:-1]:
       spill_expr = _rebuild(stencil, group)
+      spill_dtype = spill_expr.dtype
+      if spill_dtype is not None and not spill_dtype.is_float:
+        # C accumulates the original (un-split) reduction at the
+        # promoted width; a spill declared at the narrow term type
+        # would wrap partial sums early and change an output that is
+        # declared wider than its terms (int16 taps, int32 store)
+        from soda_tpu.backend.semantics import promote
+        spill_dtype = promote(spill_dtype)
       spills.append(
           ast.LocalStmt(ref=ir.Ref(name=stencil.new_cr_var(), lat=None,
                                    idx=(0,) * len(stmt.ref.idx)),
-                        dtype=spill_expr.dtype, expr=spill_expr,
+                        dtype=spill_dtype, expr=spill_expr,
                         let=stmt.let, stencil=stencil))
     stencil.local_stmts.extend(spills)
     tail = _rebuild(stencil, groups[-1])

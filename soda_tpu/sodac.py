@@ -255,10 +255,28 @@ def _run(stencil, args) -> int:
   if getattr(args, 'tune', False) and backend in ('auto', 'pallas'):
     from soda_tpu.tools.autotune import tuned_executor
     executor = tuned_executor(stencil, shape)
+  elif backend == 'replicated':
+    # R independent grids batch through one vmapped launch; the
+    # self-test runs the SAME grid in every batch slot and checks
+    # slot 0 against the oracle (reference replication semantics:
+    # identical pipelines over independent tiles, core.py:565-614)
+    from soda_tpu.backend import get_executor
+    inner = get_executor(stencil, shape, backend)
+    r = inner.replication_factor
+
+    class _Batched:
+      replication_factor = r
+
+      def __call__(self, ins, pars=None):
+        batched = {k: np.stack([v] * r) for k, v in ins.items()}
+        outs = inner(batched, pars)
+        return {k: np.asarray(v)[0] for k, v in outs.items()}
+
+    executor = _Batched()
   elif backend in ('auto', 'pallas', 'xla'):
     from soda_tpu.backend import get_executor
     executor = get_executor(stencil, shape, backend)
-  else:
+  else:  # sharded
     from soda_tpu.parallel.spmd import ShardedExecutor
     mesh = None
     if args.mesh:

@@ -90,3 +90,98 @@ input float: in_(233, *)
 output float: out(0, 0) = %s
 ''' % terms)
   assert len(stencil.local_stmts) == 0
+
+
+def test_inline2_multi_offset_producer_with_lets():
+  """Each fold site must get its own shifted, renamed copy of the
+  producer's lets (code-review regression: one shared copy evaluated
+  every site at the LAST site's offset)."""
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(64, *)
+local float:
+  float s = x(0, 0) * 2.0f
+  p(0, 0) = s + x(0, 0)
+output dram 1 float: o(0, 0) = p(0, 0) + p(1, 0)
+"""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  from soda_tpu.optimization import inline as inline_mod
+  plain = api.build_stencil(src)
+  folded = api.build_stencil(src)
+  inline_mod.inline2(folded)
+  assert not folded.local_stmts  # p folded away
+  shape = (16, 64)
+  ins = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, ins)
+  got = reference.run(folded, ins)
+  region = reference.output_valid_slices(plain, shape, 'o')
+  np.testing.assert_allclose(np.asarray(got['o'])[region],
+                             np.asarray(want['o'])[region],
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_inline_producer_let_name_collision_with_consumer():
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(64, *)
+local float:
+  float s = x(0, 0) * 2.0f
+  p(0, 0) = s + 1.0f
+output dram 1 float:
+  float s = x(0, 1) * 3.0f
+  o(0, 0) = p(1, 0) + s
+"""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  plain = api.build_stencil(src)
+  folded = api.build_stencil(src, optimizations={'inline': True})
+  assert not folded.local_stmts
+  shape = (16, 64)
+  ins = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, ins)
+  got = reference.run(folded, ins)
+  region = reference.output_valid_slices(plain, shape, 'o')
+  np.testing.assert_allclose(np.asarray(got['o'])[region],
+                             np.asarray(want['o'])[region],
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_rebalance_spills_accumulate_at_promoted_width():
+  """C evaluates the un-split reduction at the promoted width; spills
+  must not wrap partial sums early when the store is wider than the
+  terms (code-review regression: int16 taps, int32 output)."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  taps = ' + '.join('t(0, %d)' % j for j in range(15))
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 int16: t(64, *)
+output dram 1 int32: o(0, 0) = %s
+""" % taps
+  st = api.build_stencil(src)  # rebalance (threshold 12) splits this
+  assert st.local_stmts, 'expected a rebalance spill'
+  assert all(s.dtype.width_in_bits >= 32 for s in st.local_stmts)
+  shape = (16, 64)
+  ins = {'t': np.full(shape, 32000, np.int16)}  # 15 x 32000 > int16
+  want = reference.run(st, ins)
+  region = reference.output_valid_slices(st, shape, 'o')
+  assert int(np.asarray(want['o'])[region][0, 0]) == 15 * 32000

@@ -137,3 +137,33 @@ output dram 1 int32: y(0, 0) = x(0, 0) / %d
     got, _ = ev.eval(expr)
     want = c_int_div(np, vals, np.int32(1 << k))
     np.testing.assert_array_equal(got, want)
+
+
+def test_unary_minus_promotes_unsigned_operand():
+  """C promotes before unary minus (C11 §6.5.3.3): -uint16(1) is
+  -(int)1 == -1 — identical across the oracle (storage-width arrays)
+  and the Pallas value mode (pre-promoted arrays)."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 uint16: a(128, *)
+output dram 1 int32: o(0, 0) = (-a(0, 0)) / 2
+"""
+  st = api.build_stencil(src)
+  shape = (16, 128)
+  ins = {'a': np.full(shape, 1, np.uint16)}
+  want = reference.run(st, ins)
+  assert int(np.asarray(want['o'])[0, 0]) == 0  # -1 / 2 truncates to 0
+  got = PallasExecutor(st, shape)(ins)
+  region = reference.output_valid_slices(st, shape, 'o')
+  np.testing.assert_array_equal(np.asarray(got['o'])[region],
+                                np.asarray(want['o'])[region])
