@@ -118,15 +118,12 @@ class GroupedPallasExecutor:
         env.update(zip(sub.output_names, outs))
       outs = tuple(env[name] for name in stencil.output_names)
       if stencil.preserve_border:
-        from soda_tpu.backend.reference import output_valid_slices
-        fixed = []
-        for k, name in enumerate(stencil.output_names):
-          paired = k if n_in == len(stencil.output_names) else 0
-          base = semantics.wrap(jnp, arrays[paired],
-                                stencil.symbol_table[name])
-          region = output_valid_slices(stencil, self.shape, name)
-          fixed.append(base.at[region].set(outs[k][region]))
-        outs = tuple(fixed)
+        from soda_tpu.backend.reference import preserve_border_fixup
+        in_pos = {n: i for i, n in enumerate(stencil.input_names)}
+        fixed = preserve_border_fixup(
+            jnp, stencil, self.shape, lambda n: arrays[in_pos[n]],
+            dict(zip(stencil.output_names, outs)))
+        outs = tuple(fixed[n] for n in stencil.output_names)
       return outs
 
     self._fn = jax.jit(fn)

@@ -958,15 +958,12 @@ class PallasExecutor:
         outs = tuple(o[crop] for o in outs)
       if stencil.preserve_border:
         # border: preserve — boundary cells carry the paired input
-        from soda_tpu.backend.reference import output_valid_slices
-        fixed = []
-        for k, name in enumerate(stencil.output_names):
-          paired = k if len(stencil.input_names) == n_out else 0
-          base = semantics.wrap(jnp, ins[paired],
-                                stencil.symbol_table[name])
-          region = output_valid_slices(stencil, real_shape, name)
-          fixed.append(base.at[region].set(outs[k][region]))
-        outs = tuple(fixed)
+        from soda_tpu.backend.reference import preserve_border_fixup
+        in_pos = {n: i for i, n in enumerate(stencil.input_names)}
+        fixed = preserve_border_fixup(
+            jnp, stencil, real_shape, lambda n: ins[in_pos[n]],
+            dict(zip(stencil.output_names, outs)))
+        outs = tuple(fixed[n] for n in stencil.output_names)
       return outs
 
     return fn

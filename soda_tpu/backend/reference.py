@@ -36,6 +36,35 @@ def _axis_slices(lo: Tuple[int, ...], hi: Tuple[int, ...],
       for a in range(dim))
 
 
+def preserve_border_fixup(xp, stencil, shape: Tuple[int, ...],
+                          get_input, outs: dict) -> dict:
+  """``border: preserve``: cells outside each output's valid region
+  carry the positionally-paired input's value (wrapped to the output
+  type). One shared implementation for every single-chip executor —
+  the sharded executor derives the GLOBAL boundary from each shard's
+  mesh position and stays separate. ``get_input(name)`` returns the
+  full input array; works on NumPy (in-place copy) and JAX (.at[].set)
+  arrays alike. (The reference reserves the directive in its grammar;
+  its generated host preserves borders during untiling,
+  host.py:846-950.)
+  """
+  fixed = {}
+  n_in = len(stencil.input_names)
+  for k, name in enumerate(stencil.output_names):
+    paired = stencil.input_names[
+        k if n_in == len(stencil.output_names) else 0]
+    base = semantics.wrap(xp, get_input(paired),
+                          stencil.symbol_table[name])
+    region = output_valid_slices(stencil, shape, name)
+    if hasattr(base, 'at'):  # jax array
+      fixed[name] = base.at[region].set(outs[name][region])
+    else:
+      base = base.copy()
+      base[region] = np.asarray(outs[name])[region]
+      fixed[name] = base
+  return fixed
+
+
 def output_valid_slices(stencil, shape: Tuple[int, ...],
                         name: Optional[str] = None) -> Tuple[slice, ...]:
   """Array-axis slices of the valid (comparable) region of an output."""
@@ -88,18 +117,11 @@ class ReferenceExecutor:
       arrays[tensor.name] = self._produce(tensor, arrays, params, shape)
 
     if stencil.preserve_border:
-      # border: preserve — cells outside the valid region keep the
-      # paired input's values (outputs pair with inputs positionally;
-      # the reference reserves this directive without implementing it)
-      for k, name in enumerate(stencil.output_names):
-        paired = stencil.input_names[
-            k if len(stencil.input_names) == len(stencil.output_names)
-            else 0]
-        base = semantics.wrap(np, arrays[paired],
-                              stencil.symbol_table[name]).copy()
-        region = output_valid_slices(stencil, shape, name)
-        base[region] = arrays[name][region]
-        arrays[name] = base
+      for name, fixed in preserve_border_fixup(
+          np, stencil, shape,
+          lambda n: arrays[n],
+          {n: arrays[n] for n in stencil.output_names}).items():
+        arrays[name] = fixed
 
     if return_locals:
       return arrays

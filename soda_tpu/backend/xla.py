@@ -130,15 +130,9 @@ class XlaExecutor:
       arrays.update(fn(arrays, params))
     outs = {name: arrays[name] for name in stencil.output_names}
     if stencil.preserve_border:
-      from soda_tpu.backend.reference import output_valid_slices
-      for k, name in enumerate(stencil.output_names):
-        paired = stencil.input_names[
-            k if len(stencil.input_names) == len(stencil.output_names)
-            else 0]
-        base = semantics.wrap(jnp, arrays[paired],
-                              stencil.symbol_table[name])
-        region = output_valid_slices(stencil, self.shape, name)
-        outs[name] = base.at[region].set(outs[name][region])
+      from soda_tpu.backend.reference import preserve_border_fixup
+      outs = preserve_border_fixup(jnp, stencil, self.shape,
+                                   lambda n: arrays[n], outs)
     return outs
 
 
