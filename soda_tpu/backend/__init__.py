@@ -33,7 +33,12 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
   """Build an executor: 'pallas', 'xla', 'sharded', or 'auto'
   (pallas when the working set fits VMEM, else xla)."""
   if backend == 'auto':
-    if pallas_fits(stencil, shape):
+    from soda_tpu.backend import semantics as _sem
+    import jax as _jax
+    if _sem.has_half(stencil) and _jax.default_backend() == 'tpu':
+      # Mosaic has no f16; XLA:TPU computes half natively
+      backend = 'xla'
+    elif pallas_fits(stencil, shape):
       backend = 'pallas'
     elif len(shape) == 3:
       # oversized cross-section: mid-dimension tiling over the fused

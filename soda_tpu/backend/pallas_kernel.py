@@ -216,6 +216,7 @@ class PallasExecutor:
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
+    semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
       # the in-register rotate wins by up to 2.2x; for wide rows the
@@ -289,6 +290,14 @@ class PallasExecutor:
     if interpret is None:
       interpret = jax.default_backend() != 'tpu'
     self.interpret = interpret
+    if not interpret and semantics.has_half(stencil):
+      # Mosaic has no f16 type at all ("Unsupported type in mosaic
+      # dialect: 'f16'", probed); XLA:TPU handles half, so get_executor
+      # dispatches it there
+      raise utils.InputError(
+          'half-typed stencils are not supported by the TPU kernel '
+          'compiler (Mosaic has no f16); use the XLA backend '
+          '(get_executor("auto") dispatches this)')
 
     dim = self.plan.dim
     # halo below is rounded to the sublane tile so interior slab starts

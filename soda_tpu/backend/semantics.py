@@ -123,6 +123,28 @@ def wrap_promoted(xp, value, dtype: Type, wrap_free: bool = False):
   return value
 
 
+def require_f64_support(stencil) -> None:
+  """Raise a clear error when a ``double`` stencil hits a JAX backend
+  without x64: TPUs have no f64 units, and JAX would otherwise
+  silently truncate arrays to f32 and crash on dtype mismatches deep
+  inside the kernel. The NumPy oracle always supports double."""
+  import jax
+  if jax.config.jax_enable_x64:
+    return
+  for name, t in stencil.symbol_table.items():
+    if t is not None and t.is_float and t.width_in_bits == 64:
+      raise utils.InputError(
+          '%r is double, but this backend runs without 64-bit float '
+          'support (TPUs have no f64 units). Use float, or enable '
+          'jax_enable_x64 for CPU execution; the NumPy oracle '
+          '(backend.reference) always supports double.' % name)
+
+
+def has_half(stencil) -> bool:
+  return any(t is not None and t.is_float and t.width_in_bits == 16
+             for t in stencil.symbol_table.values())
+
+
 def _pow2_exponent(node) -> 'Optional[int]':
   """k if ``node`` is the positive integer literal 2^k (k >= 1)."""
   while isinstance(node, ir.CHAIN_CLASSES) and len(node.operand) == 1:
@@ -205,7 +227,18 @@ class Evaluator:
       # untyped int literals participate in promotion lazily (dtype None)
       return node.value, node.dtype
     if isinstance(node, ir.Ref):
-      return self.load(node), node.dtype
+      value = self.load(node)
+      dtype = node.dtype
+      if (dtype is not None and dtype.is_float and
+          dtype.width_in_bits == 16):
+        # half is a STORAGE format: arithmetic runs at float32 and
+        # rounds to f16 at stage stores (TPU-native — the VPU has no
+        # f16 arithmetic; same shape as the sub-32-bit int promotion).
+        # The oracle applies the identical rule, so all executors
+        # share one half-precision semantic.
+        value = _as(xp, value, Type('float'))
+        dtype = Type('float')
+      return value, dtype
     if isinstance(node, ir.Var):
       if node.idx:
         if self.param is None:

@@ -90,6 +90,7 @@ class XlaExecutor:
     import jax.numpy as jnp
     self.stencil = stencil
     self.shape = tuple(shape)
+    semantics.require_f64_support(stencil)
     self.plan: FusionPlan = make_plan(stencil, cluster)
     self._jnp = jnp
     self._group_fns = []

@@ -167,3 +167,67 @@ output dram 1 int32: o(0, 0) = (-a(0, 0)) / 2
   region = reference.output_valid_slices(st, shape, 'o')
   np.testing.assert_array_equal(np.asarray(got['o'])[region],
                                 np.asarray(want['o'])[region])
+
+
+def test_half_is_storage_only_and_bit_exact_across_executors():
+  """half arithmetic runs at float32 and rounds to f16 at stage
+  stores — the TPU-native semantic (Mosaic has no f16 type at all;
+  XLA:TPU stores f16 but the VPU computes f32). All executors share
+  the rule via the Evaluator, so results are bit-identical."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  from soda_tpu.backend.xla import XlaExecutor
+
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 half: x(128, *)
+local half: a(0, 0) = x(0, 0) * 0.5 + x(0, 1) * 0.25
+output dram 1 half: y(0, 0) = a(0, 0) + a(1, 0)
+"""
+  st = api.build_stencil(src)
+  shape = (32, 128)
+  ins = reference.make_test_inputs(st, shape)
+  want = reference.run(st, ins)
+  region = reference.output_valid_slices(st, shape, 'y')
+  w = np.asarray(want['y'])[region]
+  assert w.dtype == np.float16
+  for cls in (PallasExecutor, XlaExecutor):
+    got = np.asarray(cls(st, shape)(ins)['y'])[region]
+    np.testing.assert_array_equal(w.view(np.uint16), got.view(np.uint16))
+
+
+def test_double_raises_clearly_without_x64():
+  """TPUs have no f64 units and JAX (x64 off) silently truncates f64
+  arrays; the JAX backends refuse double stencils with guidance while
+  the NumPy oracle handles them at full precision."""
+  import numpy as np
+  import pytest as _pytest
+  from soda_tpu import api, utils
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  from soda_tpu.backend.xla import XlaExecutor
+
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 double: x(128, *)
+output dram 1 double: y(0, 0) = x(0, 0) + x(0, 1)
+"""
+  st = api.build_stencil(src)
+  shape = (16, 128)
+  want = reference.run(st, reference.make_test_inputs(st, shape))
+  assert np.asarray(want['y']).dtype == np.float64
+  for cls in (PallasExecutor, XlaExecutor):
+    with _pytest.raises(utils.InputError):
+      cls(st, shape)
