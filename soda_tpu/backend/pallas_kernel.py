@@ -212,10 +212,15 @@ class PallasExecutor:
                lane_shift: str = 'auto',
                stage_mode: str = 'auto',
                mid_tile: Optional[int] = None,
-               compute_chunk: Optional[int] = None):
+               compute_chunk: Optional[int] = None,
+               apply_preserve_border: bool = True):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
+    # the sharded executor redoes the preserve fix-up with the GLOBAL
+    # boundary after cropping, so its inner kernel skips the per-shard
+    # pass that would be discarded
+    self.apply_preserve_border = apply_preserve_border
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
@@ -965,7 +970,7 @@ class PallasExecutor:
         outs = (outs,)
       if needs_pad:
         outs = tuple(o[crop] for o in outs)
-      if stencil.preserve_border:
+      if stencil.preserve_border and self.apply_preserve_border:
         # border: preserve — boundary cells carry the paired input
         from soda_tpu.backend.reference import preserve_border_fixup
         in_pos = {n: i for i, n in enumerate(stencil.input_names)}

@@ -111,6 +111,34 @@ class XlaExecutor:
       produced[name] = value
     return produced
 
+  @property
+  def fn(self):
+    """Jittable positional callable: fn(*inputs, *params) ->
+    (outputs...) — the same contract as PallasExecutor.fn, so the
+    replication/chained drivers compose with the XLA backend too."""
+    stencil = self.stencil
+    n_in = len(stencil.input_names)
+
+    def run(*args):
+      arrays = dict(zip(stencil.input_names, args[:n_in]))
+      params = dict(zip(stencil.param_names, args[n_in:]))
+      for fn in self._group_fns:
+        arrays.update(fn(arrays, params))
+      outs = {name: arrays[name] for name in stencil.output_names}
+      if stencil.preserve_border:
+        from soda_tpu.backend.reference import preserve_border_fixup
+        outs = preserve_border_fixup(self._jnp, stencil, self.shape,
+                                     lambda n: arrays[n], outs)
+      return tuple(outs[name] for name in stencil.output_names)
+
+    return run
+
+  def prepare(self, inputs: Mapping[str, np.ndarray],
+              params: Optional[Mapping[str, np.ndarray]] = None):
+    """Wrap + order arguments positionally for ``fn``."""
+    from soda_tpu.backend.pallas_kernel import _prepare_args
+    return _prepare_args(self, inputs, params)
+
   def __call__(self,
                inputs: Mapping[str, np.ndarray],
                params: Optional[Mapping[str, np.ndarray]] = None

@@ -49,14 +49,21 @@ class ReplicatedExecutor:
     self.inner = inner
     self.mesh = mesh
 
-    batched = jax.vmap(lambda *args: inner.fn(*args))
+    n_in = len(stencil.input_names)
+    n_par = len(stencil.param_names)
+    # params are shared across replicas: map only the input axes
+    batched = jax.vmap(lambda *args: inner.fn(*args),
+                       in_axes=(0,) * n_in + (None,) * n_par)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       axis = mesh.axis_names[0]
-      if factor % mesh.devices.size:
+      # the batch is partitioned over the FIRST mesh axis only
+      # (replicated over the rest)
+      axis_size = dict(mesh.shape)[axis]
+      if factor % axis_size:
         raise utils.InputError(
-            'replication factor %d not divisible by mesh size %d' %
-            (factor, mesh.devices.size))
+            "replication factor %d not divisible by mesh axis %r "
+            "size %d" % (factor, axis, axis_size))
       self._sharding = NamedSharding(mesh, P(axis))
     else:
       self._sharding = None
@@ -77,6 +84,8 @@ class ReplicatedExecutor:
     want = (self.replication_factor,) + self.shape
     args = []
     for name in stencil.input_names:
+      if name not in inputs:
+        raise utils.InputError('missing input: %s' % name)
       arr = jnp.asarray(inputs[name])
       if arr.shape != want:
         raise utils.InputError(
@@ -88,10 +97,9 @@ class ReplicatedExecutor:
       args.append(arr)
     params = dict(params or {})
     for name in stencil.param_names:
-      # params are shared across replicas: broadcast the batch axis
-      p = jnp.asarray(params[name])
-      args.append(jnp.broadcast_to(p, (self.replication_factor,) +
-                                   p.shape))
+      if name not in params:
+        raise utils.InputError('missing param: %s' % name)
+      args.append(jnp.asarray(params[name]))  # unbatched: vmapped None
     return tuple(args)
 
   def __call__(self, inputs, params=None) -> Dict[str, np.ndarray]:

@@ -106,7 +106,10 @@ class ShardedExecutor:
       inner = 'pallas' if pallas_fits(stencil, ext_shape) else 'xla'
     if inner == 'pallas':
       from soda_tpu.backend.pallas_kernel import PallasExecutor
-      inner_exec = PallasExecutor(stencil, ext_shape, interpret=interpret)
+      # the inner per-shard preserve fix-up would be cropped away and
+      # redone with the global mask below — skip the wasted pass
+      inner_exec = PallasExecutor(stencil, ext_shape, interpret=interpret,
+                                  apply_preserve_border=False)
 
       def run_local(arrays: Dict, params: Dict) -> Dict:
         args = [arrays[name] for name in input_names]
@@ -120,8 +123,9 @@ class ShardedExecutor:
         return xla_backend.forward(stencil_ref, arrays, params, ext_shape,
                                    plan)
 
-    def exchange(a, array, axis_idx):
-      """Extend ``array`` along axis ``axis_idx`` with neighbor halos."""
+    def exchange(array, axis_idx):
+      """Extend ``array`` along axis ``axis_idx`` with neighbor halos
+      (width = the plan-wide overall halo, identical for all inputs)."""
       lo, hi, n_dev, axis_name = halos[axis_idx]
       fwd = [(i, i + 1) for i in range(n_dev - 1)]
       bwd = [(i + 1, i) for i in range(n_dev - 1)]
@@ -139,8 +143,12 @@ class ShardedExecutor:
         return array
       return jnp.concatenate(parts, axis=axis_idx)
 
-    from soda_tpu.backend.plan import materialized_margins
-    out_margins = materialized_margins(stencil)
+    # per-output margins come from the SAME plan the executors use
+    # (Stage.lo/hi are materialized_margins verbatim, plan.py)
+    out_margins = {
+        name: (plan.stage(name).lo, plan.stage(name).hi)
+        for name in output_names
+    }
     real_shape = self.shape
     n_outputs = len(output_names)
 
@@ -167,7 +175,7 @@ class ShardedExecutor:
       arrays = {}
       for name, arr in locals_in.items():
         for axis_idx in range(len(axes)):
-          arr = exchange(name, arr, axis_idx)
+          arr = exchange(arr, axis_idx)
         arrays[name] = arr
       params = dict(zip(param_names, local_arrays[len(input_names):]))
       outs = run_local(arrays, params)
@@ -217,6 +225,8 @@ class ShardedExecutor:
     needs_pad = self.padded_shape != self.shape
     args = []
     for name in stencil.input_names:
+      if name not in inputs:
+        raise utils.InputError('missing input: %s' % name)
       arr = jnp.asarray(inputs[name])
       if arr.shape != self.shape:
         raise utils.InputError('input %s shape %s != global shape %s' %

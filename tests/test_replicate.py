@@ -66,3 +66,36 @@ def test_replication_factor_validation():
   with _pytest.raises(utils.InputError):
     ReplicatedExecutor(stencil, corpus.TEST_DIMS['blur'],
                        replication_factor=0)
+
+
+def test_replicated_xla_inner_backend():
+  """The documented XLA fallback must actually work: XlaExecutor now
+  exposes the positional fn/prepare contract (code-review regression:
+  AttributeError on first call)."""
+  stencil = corpus.build('blur', replication_factor=2)
+  shape = corpus.TEST_DIMS['blur']
+  inputs, per_grid = _batched_inputs(stencil, shape, 2)
+  ex = ReplicatedExecutor(stencil, shape, backend='xla')
+  got = ex(inputs)
+  for k in range(2):
+    want = reference.run(stencil, per_grid[k])
+    for out in stencil.output_names:
+      region = reference.output_valid_slices(stencil, shape, out)
+      assert_close_reference(np.asarray(got[out])[k][region],
+                             want[out][region], False, 'xla-inner')
+
+
+def test_replicated_2d_mesh_partitions_first_axis():
+  # factor divisible by the FIRST mesh axis, not the whole mesh
+  from jax.sharding import Mesh
+  stencil = corpus.build('blur', replication_factor=2)
+  shape = corpus.TEST_DIMS['blur']
+  devices = np.array(jax.devices()[:8]).reshape(2, 4)
+  mesh = Mesh(devices, ('x', 'y'))
+  inputs, per_grid = _batched_inputs(stencil, shape, 2)
+  ex = ReplicatedExecutor(stencil, shape, mesh=mesh)
+  got = ex(inputs)
+  want = reference.run(stencil, per_grid[0])
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['blur_y'])[0][region],
+                         want['blur_y'][region], False, '2d-mesh')
