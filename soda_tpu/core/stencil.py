@@ -147,16 +147,10 @@ class Stencil:
       self._cr_counter += 1
       if var not in {
           stmt.name
-          for stmt in self.input_stmts + self.local_stmts + self.output_stmts
+          for stmt in (self.input_stmts + self.param_stmts +
+                       self.local_stmts + self.output_stmts)
       }:
         return var
-
-  @cached_property
-  def stmt_table(self) -> Dict[str, ir.Node]:
-    return {
-        stmt.name: stmt for stmt in self.input_stmts + self.local_stmts +
-        self.output_stmts + self.param_stmts
-    }
 
   @cached_property
   def input_types(self):
@@ -192,6 +186,7 @@ class Stencil:
 
   @cached_property
   def symbol_table(self) -> Dict[str, Type]:
+    from soda_tpu.ir.types import is_type_name
     symbol_table: Dict[str, Type] = {}
     for name, dtype in zip(
         itertools.chain(self.input_names, self.local_names,
@@ -200,8 +195,19 @@ class Stencil:
                         self.output_types)):
       if name in symbol_table:
         raise utils.InputError('conflicting stmt name: %s' % name)
+      if name in ir.FUNCS or is_type_name(name):
+        # a tensor named `min`/`float`/... would be silently parsed
+        # as a Call/Cast wherever it is READ; reject at declaration
+        raise utils.SemanticError(
+            'tensor name %r shadows a built-in function or type' % name)
       symbol_table[name] = dtype
     for stmt in self.param_stmts:
+      if stmt.name in symbol_table:
+        raise utils.InputError('conflicting stmt name: %s' % stmt.name)
+      if stmt.name in ir.FUNCS or is_type_name(stmt.name):
+        raise utils.SemanticError(
+            'param name %r shadows a built-in function or type' %
+            stmt.name)
       symbol_table[stmt.name] = stmt.dtype
     return symbol_table
 
@@ -244,6 +250,10 @@ class Stencil:
 
       def mutate_name_callback(obj, _):
         if isinstance(obj, ir.Ref):
+          if obj.name not in self.symbol_table:
+            raise utils.SemanticError(
+                'undefined tensor %r referenced (declared names: %s)' %
+                (obj.name, ', '.join(sorted(self.symbol_table))))
           obj.dtype = self.symbol_table[obj.name]
           obj.name = name_in_iter(obj.name, iteration)  # noqa: B023
         return obj
@@ -360,7 +370,10 @@ class Stencil:
     """Number of input elements the pipeline must retain: newest
     serialized read plus the low-corner anchor displacement (the
     reference's line-buffer size, README.md:155-156; never less than
-    the newest read alone, for windows entirely ahead of the anchor)."""
+    the newest read alone, for windows entirely ahead of the anchor).
+    0 for outputs that read no input (constant / param-only)."""
+    if not self.stencil_window:
+      return 0
     newest = max(
         utils.serialize_iter(self.stencil_window, self.tile_size))
     anchor = utils.serialize(window_offset(self.stencil_window),
@@ -417,7 +430,8 @@ def overall_window(tensor: Tensor, sources) -> Tuple[Tuple[int, ...], ...]:
 
 
 def window_extent(window) -> List[int]:
-  """Per-dimension size of the window's bounding box."""
+  """Per-dimension size of the window's bounding box (empty window:
+  no axes — callers treat it as a degenerate point)."""
   return [max(axis) - min(axis) + 1 for axis in zip(*window)]
 
 

@@ -39,7 +39,6 @@ class Tensor:
     ref = getattr(stmt, 'ref', None)
     if ref is not None:  # local / output statement
       self.st_ref = copy.copy(ref)
-      self.st_ref.parent = self
       self.name = ref.name
       self.st_idx: Tuple[int, ...] = tuple(ref.idx)
       self.lets: Tuple[ir.Let, ...] = tuple(stmt.let)
@@ -107,7 +106,9 @@ class Tensor:
 
   # -- DAG classification ---------------------------------------------------------
   def is_input(self) -> bool:
-    return not self.parents
+    # input statements have no store ref; a parent-based test would
+    # misclassify constant / param-only stages as inputs
+    return self.st_ref is None
 
   def is_output(self) -> bool:
     return not self.children

@@ -71,8 +71,6 @@ def _tokenize(source: str) -> List[_Token]:
   return tokens
 
 
-_STMT_KEYWORDS = ('border', 'burst', 'cluster', 'iterate', 'kernel', 'unroll',
-                  'input', 'param', 'local', 'output')
 
 # chain levels from lowest to highest precedence
 _LEVELS: Tuple[Tuple[type, Tuple[str, ...]], ...] = (

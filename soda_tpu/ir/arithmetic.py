@@ -73,7 +73,13 @@ def simplify(node):
       for op, opd in zip(ops, obj.operand):
         if type(opd) is type(obj):
           if isinstance(obj, _ASSOC_CHAINS):
-            inner_ops = (op,) + (op,) * len(opd.operator)
+            # these chain classes have ONE operator kind; the leading
+            # position (op is None) takes it from either chain, never
+            # a literal None (which would corrupt the operator tuple
+            # when a nested chain sits in operand[0])
+            fill = op if op is not None else \
+                (obj.operator or opd.operator)[0]
+            inner_ops = (fill,) * (len(opd.operator) + 1)
             new_operands.extend(opd.operand)
             new_ops.extend(inner_ops)
             changed = True

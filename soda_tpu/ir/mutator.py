@@ -108,7 +108,7 @@ def replace_expressions(
     if used is not None and canon not in used:
       rest = dict(cses)
       del rest[canon]
-      used[canon] = replace_expressions(canon, rest, used)
+      used[canon] = replace_expressions(canon, rest, used, references)
     return shift(hit, origin, op=operator.add)
 
   return obj.visit(lambda node, _: substitute(node))

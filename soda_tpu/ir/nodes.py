@@ -38,7 +38,6 @@ FUNCS = (
 # Reduction operators understood by to_reduction/from_reduction (the
 # computation-reuse pass only handles these; reference
 # computation_reuse.py:1792-1803).
-REDUCTION_OPS = {'+': 'AddSub', 'min': 'Call', 'max': 'Call'}
 
 
 class Node:

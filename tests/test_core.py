@@ -107,3 +107,90 @@ def test_dram_override_named():
   assert stencil.input_stmts[0].dram == (0, 1)
   with pytest.raises(SemanticError):
     build_stencil(BLUR, dram_in='nope:0')
+
+
+def test_tensor_name_shadowing_builtin_rejected():
+  import pytest
+  from soda_tpu import api, utils
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(64, *)
+local float: min(0, 0) = x(0, 0) + 1.0f
+output dram 1 float: o(0, 0) = min(0, 0)
+"""
+  with pytest.raises(utils.SemanticError):
+    api.build_stencil(src)
+
+
+def test_undefined_tensor_reference_rejected():
+  import pytest
+  from soda_tpu import api, utils
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: img(64, *)
+output dram 1 float: o(0, 0) = imgg(0, 0) + 1.0f
+"""
+  st = api.build_stencil(src)
+  with pytest.raises(utils.SemanticError):
+    st.tensors  # noqa: B018 - building the DAG surfaces the error
+
+
+def test_constant_output_pipeline():
+  """Outputs reading no input (constant / param-only) must build,
+  emit, and execute (stencil_distance 0, degenerate window)."""
+  import io
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  from soda_tpu.codegen import jax_source
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(64, *)
+output dram 1 float: o(0, 0) = 1.5f
+"""
+  st = api.build_stencil(src)
+  assert st.stencil_distance == 0
+  jax_source.print_code(st, io.StringIO(), shape=(16, 64))
+  out = reference.run(st, reference.make_test_inputs(st, (16, 64)))
+  assert float(np.asarray(out['o'])[0, 0]) == 1.5
+
+
+def test_parenthesized_assoc_chains_simplify_cleanly():
+  """Nested &/^/| chains in operand[0] must not corrupt the operator
+  tuple (code-review regression: a literal None leaked in)."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 uint16: a(64, *)
+output dram 1 uint16: o(0, 0) = (a(0, 0) & a(0, 1)) & a(1, 0)
+"""
+  st = api.build_stencil(src)
+  assert 'None' not in str(st.output_stmts[0])
+  ins = reference.make_test_inputs(st, (16, 64))
+  x = np.asarray(ins['a'])
+  got = np.asarray(reference.run(st, ins)['o'])
+  region = reference.output_valid_slices(st, (16, 64), 'o')
+  want = x[:-1, :-1] & x[:-1, 1:] & x[1:, :-1]
+  np.testing.assert_array_equal(got[region], want)
