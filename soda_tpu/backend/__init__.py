@@ -28,11 +28,24 @@ def pallas_fits(stencil, shape: Tuple[int, ...],
   return pallas_kernel.estimate_vmem(plan, shape, 8) <= budget
 
 
+def _build_pallas(stencil, shape, **kwargs):
+  if (stencil.cluster or 'none') in ('coarse', 'fine'):
+    # per-stage-group kernels with HBM handoff (the reference's
+    # cluster granularities, cluster.py:51-202; fine == coarse on
+    # TPU — the per-PE split has no analog below one kernel)
+    from soda_tpu.backend.grouped import GroupedPallasExecutor
+    return GroupedPallasExecutor(stencil, shape, **kwargs)
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  return PallasExecutor(stencil, shape, **kwargs)
+
+
 def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
                  **kwargs):
-  """Build an executor: 'pallas', 'xla', 'sharded', or 'auto'
-  (pallas when the working set fits VMEM, else xla)."""
-  if backend == 'auto':
+  """Build an executor: 'pallas', 'xla', 'sharded', 'replicated', or
+  'auto' (pallas when the working set fits VMEM, else xla)."""
+  from soda_tpu import utils
+  auto = backend == 'auto'
+  if auto:
     from soda_tpu.backend import semantics as _sem
     import jax as _jax
     if _sem.has_half(stencil) and _jax.default_backend() == 'tpu':
@@ -43,7 +56,6 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
     elif len(shape) == 3:
       # oversized cross-section: mid-dimension tiling over the fused
       # kernel (halo-overlapped, reference host-tiling analog)
-      from soda_tpu import utils
       from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
       try:
         return MidTiledPallasExecutor(stencil, shape, **kwargs)
@@ -57,14 +69,19 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
     else:
       backend = 'xla'
   if backend == 'pallas':
-    if (stencil.cluster or 'none') in ('coarse', 'fine'):
-      # per-stage-group kernels with HBM handoff (the reference's
-      # cluster granularities, cluster.py:51-202; fine == coarse on
-      # TPU — the per-PE split has no analog below one kernel)
-      from soda_tpu.backend.grouped import GroupedPallasExecutor
-      return GroupedPallasExecutor(stencil, shape, **kwargs)
-    from soda_tpu.backend.pallas_kernel import PallasExecutor
-    return PallasExecutor(stencil, shape, **kwargs)
+    if not auto:
+      return _build_pallas(stencil, shape, **kwargs)
+    # under 'auto', the fits estimate (block 8, vmem mode) and the
+    # constructor's legality gate (halo-clamped minimum block, auto
+    # stage mode) can disagree for deep-halo pipelines; fall back to
+    # XLA like the 3-D path instead of propagating
+    try:
+      return _build_pallas(stencil, shape, **kwargs)
+    except utils.InputError as e:
+      _logger.warning(
+          'fused Pallas kernel not applicable (%s); falling back to '
+          'the XLA whole-grid backend', e)
+      backend = 'xla'
   if backend == 'xla':
     from soda_tpu.backend.xla import XlaExecutor
     return XlaExecutor(stencil, shape, **kwargs)

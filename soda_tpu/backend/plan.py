@@ -59,6 +59,9 @@ def materialized_margins(stencil) -> Dict[str, Tuple[Tuple[int, ...],
   store offset can make the window bound under-estimate the margin —
   its generated host would silently read out of range there).
   """
+  cached = getattr(stencil, '_materialized_margins', None)
+  if cached is not None:
+    return cached
   dim = len(stencil.tile_size)
   zeros = (0,) * dim
   margins: Dict[str, Tuple[Tuple[int, ...], Tuple[int, ...]]] = {
@@ -80,6 +83,9 @@ def materialized_margins(stencil) -> Dict[str, Tuple[Tuple[int, ...],
           lo[d] = max(lo[d], p_lo[d] - delta)
           hi[d] = max(hi[d], p_hi[d] + delta)
     margins[tensor.name] = (tuple(lo), tuple(hi))
+  # memoized: the tensor DAG is immutable once built, and the oracle /
+  # valid-region helpers query per stage (O(stages^2) otherwise)
+  stencil._materialized_margins = margins
   return margins
 
 

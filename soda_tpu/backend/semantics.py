@@ -123,26 +123,54 @@ def wrap_promoted(xp, value, dtype: Type, wrap_free: bool = False):
   return value
 
 
+def _all_types(stencil):
+  """Every type the program touches: declared tensors/params, in-expr
+  casts, and typed lets (casts to half/double are invisible in the
+  symbol table but hit the same backend limits)."""
+  for t in stencil.symbol_table.values():
+    yield t
+  found = []
+
+  def collect(node, _):
+    if isinstance(node, ir.Cast) and node.dtype is not None:
+      found.append(node.dtype)
+    return node
+
+  for stmt in stencil.local_stmts + stencil.output_stmts:
+    stmt.expr.visit(collect)
+    for let in stmt.let:
+      if let.dtype is not None:
+        found.append(let.dtype)
+      let.visit(collect)
+  yield from found
+
+
 def require_f64_support(stencil) -> None:
-  """Raise a clear error when a ``double`` stencil hits a JAX backend
-  without x64: TPUs have no f64 units, and JAX would otherwise
-  silently truncate arrays to f32 and crash on dtype mismatches deep
-  inside the kernel. The NumPy oracle always supports double."""
+  """Raise a clear error when a 64-bit-typed stencil hits a JAX
+  backend without x64: TPUs have no f64 units, and JAX silently
+  truncates float64/int64 astype — double would crash on dtype
+  mismatches mid-kernel and wide ints would silently wrap at 32 bits
+  against the oracle. The NumPy oracle supports all widths."""
   import jax
   if jax.config.jax_enable_x64:
     return
-  for name, t in stencil.symbol_table.items():
-    if t is not None and t.is_float and t.width_in_bits == 64:
+  for t in _all_types(stencil):
+    if t is None:
+      continue
+    wide_float = t.is_float and t.width_in_bits == 64
+    wide_int = not t.is_float and t.width_in_bits > 32
+    if wide_float or wide_int:
       raise utils.InputError(
-          '%r is double, but this backend runs without 64-bit float '
-          'support (TPUs have no f64 units). Use float, or enable '
-          'jax_enable_x64 for CPU execution; the NumPy oracle '
-          '(backend.reference) always supports double.' % name)
+          'type %s needs 64-bit support, but this backend runs '
+          'without x64 (TPUs have no f64/i64 units; JAX silently '
+          'truncates). Use <=32-bit types, or enable jax_enable_x64 '
+          'for CPU execution; the NumPy oracle (backend.reference) '
+          'supports every width.' % t)
 
 
 def has_half(stencil) -> bool:
   return any(t is not None and t.is_float and t.width_in_bits == 16
-             for t in stencil.symbol_table.values())
+             for t in _all_types(stencil))
 
 
 def _pow2_exponent(node) -> 'Optional[int]':
@@ -267,8 +295,10 @@ class Evaluator:
         elif op == '~':
           value = ~value
         elif op == '!':
-          value = xp.logical_not(value)
-          dtype = Type('uint1')
+          # C's ! yields int 0/1 (C11 §6.5.3.3); materialize it so a
+          # following -/~ applies integer semantics, not bool ops
+          value = _as(xp, xp.logical_not(value), _INT)
+          dtype = _INT
         elif op == '+':
           pass
         else:
@@ -388,6 +418,11 @@ class Evaluator:
       return xp.where(cond, av, bv), out
     if name == 'abs':
       val, t = args[0]
+      if t is not None and not t.is_float:
+        # C's abs promotes to int first: abs(int8 -128) is +128
+        pt = promote(t)
+        if pt.width_in_bits != t.width_in_bits:
+          val, t = _as(xp, val, pt), pt
       return xp.abs(val), t
     if name == 'pow':
       (av, at), (bv, bt) = args

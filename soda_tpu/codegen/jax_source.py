@@ -281,11 +281,14 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
                      dtype)
 
     def param(name, idx):
-      return xp.sym('%s[%s]' % (name, ', '.join(map(str, idx))),
+      return xp.sym('%s[%s]' % (_py_name(name), ', '.join(map(str, idx))),
                     stencil.symbol_table[name].np_dtype)
 
+    # the pure-NumPy target is the printed analog of the ORACLE: it
+    # keeps plain C division so it can differentially check the jax
+    # target's fast paths (CLAUDE.md architecture invariant)
     evaluator = semantics.Evaluator(xp, load, param=param,
-                                    fast_int_div=True)
+                                    fast_int_div=(target == 'jax'))
     value, _ = evaluator.eval_stmt(stage.tensor)
     value = semantics.wrap(xp, value, stage.dtype)
     pads = ', '.join(
@@ -320,8 +323,15 @@ def print_code(stencil, file, shape: Optional[Tuple[int, ...]] = None,
     else:
       w('  %s = sum(np.arange(s, dtype=np.int64).reshape(\n'
         '      [-1 if i == a else 1 for i in range(len(shape))])\n'
-        '      for a, s in enumerate(shape)).astype(np.%s)\n' %
-        (name, t.np_dtype.name))
+        '      for a, s in enumerate(shape))\n' % name)
+      if t.needs_mask:
+        # ap_int widths: wrap into the declared range like every
+        # executor's input wrap (semantics.wrap)
+        w('  %s = %s & %d\n' % (name, name, (1 << t.width_in_bits) - 1))
+        if t.is_signed:
+          sign = 1 << (t.width_in_bits - 1)
+          w('  %s = (%s ^ %d) - %d\n' % (name, name, sign, sign))
+      w('  %s = %s.astype(np.%s)\n' % (name, name, t.np_dtype.name))
   for stmt in stencil.param_stmts:
     if stmt.dtype.is_float:
       w('  %s = rng.random(%r).astype(np.%s)\n' %

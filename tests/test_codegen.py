@@ -55,3 +55,27 @@ def test_header_contains_dsl():
   src = jax_source.generate(stencil, (24, 32))
   assert 'kernel: jacobi2d' in src
   assert 'stencil distance' in src
+
+
+def test_emitted_numpy_target_keeps_plain_c_division():
+  """The printed NumPy program is the ORACLE analog: it must not bake
+  in the fast-path division rewrites it exists to check."""
+  import io
+  from soda_tpu import api
+  from soda_tpu.codegen import jax_source
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 int32: x(128, *)
+output dram 1 int32: y(0, 0) = (x(0, 0) + x(0, 1)) / 256
+"""
+  st = api.build_stencil(src)
+  buf_np, buf_jax = io.StringIO(), io.StringIO()
+  jax_source.print_code(st, buf_np, shape=(16, 128), target='numpy')
+  jax_source.print_code(st, buf_jax, shape=(16, 128), target='jax')
+  assert 'right_shift' not in buf_np.getvalue()   # plain C division
+  assert 'right_shift' in buf_jax.getvalue()       # fast path

@@ -231,3 +231,88 @@ output dram 1 double: y(0, 0) = x(0, 0) + x(0, 1)
   for cls in (PallasExecutor, XlaExecutor):
     with _pytest.raises(utils.InputError):
       cls(st, shape)
+
+
+def test_wide_int_types_raise_without_x64():
+  import pytest as _pytest
+  from soda_tpu import api, utils
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 uint64: x(128, *)
+output dram 1 uint64: y(0, 0) = x(0, 0) + x(0, 1)
+"""
+  st = api.build_stencil(src)
+  with _pytest.raises(utils.InputError):
+    PallasExecutor(st, (16, 128))
+
+
+def test_cast_to_double_in_expr_is_guarded():
+  import pytest as _pytest
+  from soda_tpu import api, utils
+  from soda_tpu.backend.xla import XlaExecutor
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(128, *)
+output dram 1 float: y(0, 0) = float(double(x(0, 0)) * 0.5)
+"""
+  st = api.build_stencil(src)
+  with _pytest.raises(utils.InputError):
+    XlaExecutor(st, (16, 128))
+
+
+def test_unary_not_chain_applies_int_semantics():
+  """C: !x yields int 0/1, then ~/- apply integer ops: ~!0 == -2."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 int32: x(128, *)
+output dram 1 int32: y(0, 0) = ~!x(0, 0)
+"""
+  st = api.build_stencil(src)
+  shape = (8, 128)
+  ins = {'x': np.zeros(shape, np.int32)}
+  out = reference.run(st, ins)
+  assert int(np.asarray(out['y'])[0, 0]) == ~1  # !0 == 1, ~1 == -2
+
+
+def test_abs_promotes_before_applying():
+  """C's abs promotes to int first: abs(int8 -128) is +128."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 int8: x(128, *)
+output dram 1 int32: y(0, 0) = abs(x(0, 0))
+"""
+  st = api.build_stencil(src)
+  shape = (8, 128)
+  ins = {'x': np.full(shape, -128, np.int8)}
+  want = reference.run(st, ins)
+  assert int(np.asarray(want['y'])[0, 0]) == 128
+  got = PallasExecutor(st, shape)(ins)
+  np.testing.assert_array_equal(np.asarray(got['y']), np.asarray(want['y']))
