@@ -447,10 +447,13 @@ struct Greedy {
           auto span = [&](size_t start) {
             int lo = static_cast<int>(g[start].first);
             int hi = static_cast<int>(g[g.size() - 2 + start].first);
-            if (max_l >= 0) {
-              lo = std::min(lo, min_l);
-              hi = std::max(hi, max_l);
-            }
+            // ALWAYS clamp (defaults min 0 / max -1), exactly like the
+            // Python/reference greedy (cr_schedules.py:486-493,
+            // reference computation_reuse.py:1209-1220): with no odd
+            // pairs this pins lo to 0 and leaves hi, making span_1 >=
+            // span_0 and the even-side pick deterministic
+            lo = std::min(lo, min_l);
+            hi = std::max(hi, max_l);
             return operands[hi].rattr - operands[lo].rattr;
           };
           size_t start = span(1) < span(0) ? 1 : 0;

@@ -181,10 +181,10 @@ def estimate(stencil, shape: Tuple[int, ...],
     vpu_gflops = float(model_params.get('vpu_gflops', vpu_gflops))
     kind = model_params.get('name', kind)
   cells = float(np.prod(shape))
-  in_bytes = sum(cells * stencil.symbol_table[n].width_in_bytes
-                 for n in stencil.input_names)
-  out_bytes = sum(cells * stencil.symbol_table[n].width_in_bytes
-                  for n in stencil.output_names)
+  # unique HBM traffic: ONE definition shared with the bench's
+  # measured-throughput denominator (soda_tpu.profiling.stream_bytes)
+  from soda_tpu.profiling import stream_bytes
+  in_bytes, out_bytes = stream_bytes(stencil, shape)
   traffic = in_bytes + out_bytes
   ops = count_ops(stencil)
   flops_per_cell = sum(ops.values())
@@ -198,10 +198,15 @@ def estimate(stencil, shape: Tuple[int, ...],
 
   block_rows = pallas_kernel.choose_block_rows(plan, shape)
   dim = plan.dim
-  lo = pallas_kernel._pad_to(plan.halo_lo[dim - 1], pallas_kernel._ALIGN)
+  # mirror the executor's slab geometry and VMEM model EXACTLY
+  # (axis-0 alignment is 8 for 2-D sublanes but 1 for 3-D plane
+  # strides, pallas_kernel._axis0_align; the working-set model is the
+  # same estimate_vmem that chose block_rows)
+  a0 = pallas_kernel._axis0_align(dim)
+  lo = pallas_kernel._pad_to(plan.halo_lo[dim - 1], a0)
   slab = pallas_kernel._pad_to(block_rows + lo + plan.halo_hi[dim - 1],
-                               pallas_kernel._ALIGN)
-  vmem = plan.vmem_bytes((slab,) + tuple(shape[1:]))
+                               a0)
+  vmem = pallas_kernel.estimate_vmem(plan, shape, block_rows)
 
   return {
       'device': kind,

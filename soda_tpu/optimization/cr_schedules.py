@@ -374,7 +374,8 @@ class CommSchedules(ScheduleBase):
       left_idx = [0] + [i + 1 for i in range(n - 1) if bits & (1 << i)]
       if len(left_idx) == n:
         continue
-      right_idx = [i for i in indices if i not in set(left_idx)]
+      left_set = set(left_idx)
+      right_idx = [i for i in indices if i not in left_set]
       left_ops = tuple(operands[i] for i in left_idx)
       right_ops = tuple(operands[i] for i in right_idx)
       l_origin = left_ops[0][0]
@@ -393,10 +394,13 @@ class CommSchedules(ScheduleBase):
           if prev is None:
             results[sig] = sched
     out = list(results.values())
-    if not truncated:
-      # a deadline-truncated enumeration must not poison the shared
-      # cache: later (possibly deadline-free) queries would silently
-      # reuse the incomplete candidate list
+    # a deadline-truncated enumeration must not poison the shared
+    # cache: later (possibly deadline-free) queries would silently
+    # reuse the incomplete candidate list. Re-check the clock: a CHILD
+    # recursion may have truncated after this frame's last own check
+    # (the deadline is monotonic, so a fired deadline is still fired)
+    if not truncated and not (
+        self._deadline and time.monotonic() > self._deadline):
       self._memo[key] = out
     return out
 
@@ -662,7 +666,15 @@ class ExternalSchedules(ScheduleBase):
         subprocess.run(self.cmd, input=json.dumps(attrs),
                        stdout=subprocess.PIPE, universal_newlines=True,
                        check=True).stdout)
-    return schedule_from_json(result, self.aattrs is None)
+    sched = schedule_from_json(result, self.aattrs is None)
+    returned = result.get('rattrs')
+    if returned:
+      # reference soda-cr protocol: the tree is rooted at the RETURNED
+      # rattrs[0] (which the binary may have re-sorted), reference
+      # computation_reuse.py:1707; our own binary echoes no rattrs and
+      # roots at the input origin
+      sched.base = returned[0]
+    return sched
 
 
 def find_external_cr() -> Optional[str]:
@@ -836,7 +848,7 @@ class Expression:
       cses[norm_key] = ref
       var_refs[var] = ref
 
-    top = instance(schedule, self.rattrs[0])
+    top = instance(schedule, getattr(schedule, 'base', self.rattrs[0]))
     return arithmetic.simplify(top)
 
   def get_ir_node_with_cr(self, stencil, cses) -> ir.Node:

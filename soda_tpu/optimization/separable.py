@@ -27,7 +27,7 @@ import itertools
 import logging
 from fractions import Fraction
 from math import gcd
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from soda_tpu.ir import nodes as ir
 
@@ -36,10 +36,15 @@ _logger = logging.getLogger().getChild(__name__)
 Coeffs = Dict[Tuple[str, Tuple[int, ...]], Fraction]
 
 
-def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs) -> bool:
+def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs,
+                   saw_float: List[bool]) -> bool:
   """Accumulate coefficients per (parent, idx) as exact Fractions
   (float literals convert exactly — binary floats are rationals);
-  False = the expression is not a linear combination of refs."""
+  False = the expression is not a linear combination of refs.
+  ``saw_float[0]`` records whether any coefficient came from a FLOAT
+  literal: that makes the original arithmetic float even when the
+  value is integral (3. * x computes in f32), so the exact-integer
+  rewrite path must not claim it."""
   if isinstance(node, ir.Ref):
     if node.lat is not None:
       return False
@@ -52,12 +57,13 @@ def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs) -> bool:
         scale = -scale
       else:
         return False
-    return _linear_coeffs(node.operand, scale, out)
+    return _linear_coeffs(node.operand, scale, out, saw_float)
   if isinstance(node, ir.AddSub):
-    if not _linear_coeffs(node.operand[0], scale, out):
+    if not _linear_coeffs(node.operand[0], scale, out, saw_float):
       return False
     for op, opd in zip(node.operator, node.operand[1:]):
-      if not _linear_coeffs(opd, scale if op == '+' else -scale, out):
+      if not _linear_coeffs(opd, scale if op == '+' else -scale, out,
+                            saw_float):
         return False
     return True
   if isinstance(node, ir.MulDiv):
@@ -66,6 +72,8 @@ def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs) -> bool:
     body = None
     for opd in node.operand:
       if isinstance(opd, ir.Num):
+        if isinstance(opd.value, float):
+          saw_float[0] = True
         scale *= Fraction(opd.value)
       elif body is None:
         body = opd
@@ -73,9 +81,9 @@ def _linear_coeffs(node: ir.Node, scale: Fraction, out: Coeffs) -> bool:
         return False  # product of two non-constants: nonlinear
     if body is None:
       return False  # pure constant term
-    return _linear_coeffs(body, scale, out)
+    return _linear_coeffs(body, scale, out, saw_float)
   if isinstance(node, ir.CHAIN_CLASSES) and len(node.operand) == 1:
-    return _linear_coeffs(node.operand[0], scale, out)
+    return _linear_coeffs(node.operand[0], scale, out, saw_float)
   return False
 
 
@@ -146,7 +154,8 @@ def separable(stencil) -> None:
     if stmt.let:
       continue
     coeffs: Coeffs = {}
-    if not _linear_coeffs(stmt.expr, 1, coeffs):
+    saw_float = [False]
+    if not _linear_coeffs(stmt.expr, Fraction(1), coeffs, saw_float):
       continue
     by_parent: Dict[str, Dict[Tuple[int, int], Fraction]] = {}
     types_ok = True
@@ -157,10 +166,11 @@ def separable(stencil) -> None:
         break
       # a factoring of ANY parent rebuilds the whole statement from
       # the collapsed coefficients; for an integer parent that is only
-      # exact (mod-2^n reassociation) when its coefficients are
-      # integers, so a fractional coefficient on an int parent bails
-      # the entire statement — not just that parent's factoring
-      if not dtype.is_float and c.denominator != 1:
+      # exact (mod-2^n reassociation) when its coefficients are true
+      # INTEGER literals — a fractional coefficient, or a float literal
+      # with an integral value (3. * x computes in f32), bails the
+      # entire statement, not just that parent's factoring
+      if not dtype.is_float and (c.denominator != 1 or saw_float[0]):
         types_ok = False
         break
       by_parent.setdefault(name, {})[tuple(idx)] = c

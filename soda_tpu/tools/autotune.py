@@ -132,12 +132,21 @@ def tune(stencil, shape, cache_path: str = DEFAULT_CACHE,
                  time.time() - t0)
     if dt < best_dt:
       best_dt, best_cfg = dt, dict(cfg)
+  if best_dt == float('inf'):
+    # every candidate failed (flaky tunnel / compile server): do NOT
+    # pin the failure in the persistent cache — the next invocation
+    # should re-probe a healthy device
+    _logger.warning('tune: all candidates failed; not caching')
+    return {}
+  # merge-on-write: re-read the file so entries written concurrently
+  # (bench.py shares this cache) survive the minutes-long probe loop
+  table = _load(path)
   table[key] = {
       'stencil': stencil.app_name,
       'shape': list(shape),
       'device': device_kind,
       'config': best_cfg,
-      'ms': round(best_dt * 1e3, 4) if best_dt < float('inf') else None,
+      'ms': round(best_dt * 1e3, 4),
   }
   try:
     _store(path, table)

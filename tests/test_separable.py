@@ -43,8 +43,9 @@ def test_linear_coeffs_handles_nesting():
 input dram 0 int16: x(128, *)
 output dram 1 int16: y(0, 0) = (x(1, 0) - x(-1, 0)) * 3 - -x(0, 1)
 """)
+  from fractions import Fraction
   out = {}
-  assert _linear_coeffs(st.output_stmts[0].expr, 1, out)
+  assert _linear_coeffs(st.output_stmts[0].expr, Fraction(1), out, [False])
   assert out == {('x', (1, 0)): 3, ('x', (-1, 0)): -3, ('x', (0, 1)): 1}
 
 
@@ -164,3 +165,16 @@ def test_preserve_border_with_factored_stages():
   got = PallasExecutor(st, shape)(ins)
   np.testing.assert_array_equal(np.asarray(want['mag']),
                                 np.asarray(got['mag']))
+
+
+def test_integral_float_literal_coeff_on_int_parent_bails():
+  """3. * x computes in f32 even though the value is integral; the
+  exact-integer rewrite path must not claim it (code-review)."""
+  src = _HEADER + """
+input dram 0 int32: x(128, *)
+output dram 1 int32: y(0, 0) = x(0, 0) * 2. + x(0, 1) * 4. + x(0, 3) * 10. +
+  x(2, 0) * 3. + x(2, 1) * 6. + x(2, 3) * 15. +
+  x(4, 0) * 5. + x(4, 1) * 10. + x(4, 3) * 25.
+"""
+  st = api.build_stencil(src)
+  assert not st.local_stmts  # nothing factored
