@@ -159,12 +159,22 @@ def computation_reuse(stencil):
       if prev is not None:
         prev.expr = expr
         continue
+      # declare reuse variables at the C-PROMOTED width: the original
+      # (un-rewritten) reduction computed its partial sums in promoted
+      # arithmetic with NO intermediate wraps, so a narrow cr_var
+      # store would add wraps the source program never had — wrong
+      # whenever the reduction feeds a non-ring consumer (e.g.
+      # `(a+b+c+d)/256` over uint16 taps; caught by extended fuzzing)
+      decl = expr.dtype
+      if decl is not None and not decl.is_float:
+        from soda_tpu.backend.semantics import promote
+        decl = promote(decl)
       # record the new variable's type so later vars / stmts referencing
       # it propagate correctly (bottom-up insertion order guarantees
       # dependees come first)
-      stencil.symbol_table[ref.name] = expr.dtype
+      stencil.symbol_table[ref.name] = decl
       new_local_stmts.append(
-          ast.LocalStmt(ref=ref, dtype=expr.dtype, expr=expr, let=stmt.let,
+          ast.LocalStmt(ref=ref, dtype=decl, expr=expr, let=stmt.let,
                         stencil=stencil))
       emitted[ref.name] = new_local_stmts[-1]
       _logger.debug('computation reuse stmt: %s', new_local_stmts[-1])

@@ -243,3 +243,41 @@ def test_absolute_cse_shares_coefficient_subtrees():
       for _ in [stmt.expr]
       if '*' in str(stmt.expr))
   assert mults <= len(reused.local_stmts) + 1
+
+
+def test_cr_vars_declared_at_promoted_width():
+  """Reuse variables must not add wraps the source program never had:
+  the original reduction computes its partial sums in C-promoted
+  arithmetic, so a narrow cr_var store changes `(a+b+c+d)/256`-style
+  consumers (caught by extended fuzzing, seed 537)."""
+  import numpy as np
+  from soda_tpu import api
+  from soda_tpu.backend import reference
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 uint16: src(64, *)
+local uint16: t0(0, 0) = src(2, 2) * -3 + src(0, 1) * -2 + src(-2, -1) * 1 + src(-1, 1) * 3 + src(-1, 2) * 9 + src(2, 1) * -1 + src(0, 2) * -6
+output dram 1 uint16: out(0, 0) = min((t0(0, 0) + t0(1, 0) + t0(0, 1) + t0(1, 1)) / 256, t0(-1, 0))
+"""
+  plain = api.build_stencil(src)
+  shape = (24, 64)
+  inputs = reference.make_test_inputs(plain, shape, seed=537)
+  want = reference.run(plain, inputs)
+  rp = reference.output_valid_slices(plain, shape)
+  for method in ('greedy', 'optimal', 'yes'):
+    st = api.build_stencil(src, optimizations={'computation-reuse': method})
+    for s in st.local_stmts:
+      if s.name.startswith('cr_var'):
+        assert s.dtype.width_in_bits >= 32, (method, s)
+    got = reference.run(st, inputs)
+    rf = reference.output_valid_slices(st, shape)
+    region = tuple(slice(max(a.start, b.start), min(a.stop, b.stop))
+                   for a, b in zip(rp, rf))
+    np.testing.assert_array_equal(np.asarray(want['out'])[region],
+                                  np.asarray(got['out'])[region],
+                                  err_msg=method)
