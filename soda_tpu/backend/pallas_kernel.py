@@ -496,6 +496,65 @@ class PallasExecutor:
     wrap_free = getattr(stencil, '_wrap_free', {})
     value_mode = self.stage_mode == 'value'
     chunk = self.compute_chunk
+
+    # Transposed lane regions (2-D value mode, slice lane mode):
+    # maximal chains of stages whose loads shift ONLY along the lane
+    # axis evaluate in transposed layout — lane shifts become sublane
+    # slices (measured 2.3x cheaper than lane-crossing shifts/rolls
+    # for a 19-tap doubling chain: 16 vs 37 slots/cell) at the price
+    # of one transpose per region entry/exit. This is the second-pass
+    # half of 1-D-separated kernels (erosion/xcorr's 19-tap passes,
+    # sobel's factored gradients).
+    transposed = set()
+    if value_mode and dim == 2 and not rotate_lanes:
+      lane_only = {}
+      for stg in plan.stages:
+        ok = True
+        for parent, offs in stg.load_offsets.items():
+          if parent in stencil.param_names:
+            continue
+          for off in offs:
+            if any(off[d] for d in range(1, dim)):
+              ok = False
+        lane_only[stg.name] = ok
+      consumers = {stg.name: set() for stg in plan.stages}
+      for stg in plan.stages:
+        for parent in stg.tensor.ld_refs:
+          if parent in consumers:
+            consumers[parent].add(stg.name)
+      # connected components over lane-only stages (edges: producer ->
+      # consumer where both are lane-only)
+      comp = {}
+      for stg in plan.stages:
+        if not lane_only[stg.name]:
+          continue
+        comp.setdefault(stg.name, {stg.name})
+        for parent in stg.tensor.ld_refs:
+          if lane_only.get(parent):
+            merged = comp[parent] | comp[stg.name]
+            for n in merged:
+              comp[n] = merged
+      outputs_set = set(stencil.output_names)
+      for members in {id(c): c for c in comp.values()}.values():
+        lane_shifts = 0
+        entries = set()
+        exits = 0
+        for stg in plan.stages:
+          if stg.name not in members:
+            continue
+          for parent, offs in stg.load_offsets.items():
+            if parent in stencil.param_names:
+              continue
+            if parent not in members:
+              entries.add(parent)
+            lane_shifts += len({off[0] for off in offs if off[0]})
+          if (stg.name in outputs_set or
+              any(c not in members for c in consumers[stg.name])):
+            exits += 1
+        # measured economics: a lane slice costs ~4.5 slots, a sublane
+        # slice ~1.5, a transpose ~2.5 — require a clear net win
+        if 3 * lane_shifts > 2.5 * (len(entries) + exits) + 4:
+          transposed |= members
     # chunked mode stores childless outputs straight into the output
     # block, so they need no slab slot
     direct_outs = set()
@@ -691,11 +750,18 @@ class PallasExecutor:
       # Sub-32-bit integer values are kept at their C-promoted width
       # (i32) throughout — one widen per input, one narrow per output,
       # zero relayouts at stage boundaries (semantics.wrap_promoted).
+      # Stages in a transposed lane region live in stage_vals_T with
+      # their two axes swapped; layout conversions happen lazily and
+      # are cached.
       stage_vals: Dict[str, object] = {}
+      stage_vals_T: Dict[str, object] = {}
       input_vals: Dict[str, object] = {}
 
       def parent_val(name):
         if name in stage_vals:
+          return stage_vals[name], slab_margins[name]
+        if name in stage_vals_T:
+          stage_vals[name] = stage_vals_T[name].T
           return stage_vals[name], slab_margins[name]
         if name not in input_vals:
           k = stencil.input_names.index(name)
@@ -706,6 +772,12 @@ class PallasExecutor:
           input_vals[name] = v
         return input_vals[name], slab_margins[name]
 
+      def parent_val_T(name):
+        """Parent value in transposed (lane-major) layout."""
+        if name not in stage_vals_T:
+          stage_vals_T[name] = parent_val(name)[0].T
+        return stage_vals_T[name], slab_margins[name]
+
       def store_value(k, name, bases, val=None, window=None):
         """Store the valid region of an output stage value into the
         output block; ``bases`` maps blocked axis -> (static slab base,
@@ -714,7 +786,7 @@ class PallasExecutor:
         the stage's region (chunked mode), with ``val`` holding just
         those rows."""
         if val is None:
-          val = stage_vals[name]
+          val = parent_val(name)[0]  # lazily un-transposes region outputs
         store_dt = stencil.symbol_table[name].np_dtype
         m = slab_margins[name]
         out_idx, val_idx = [], []
@@ -784,7 +856,21 @@ class PallasExecutor:
         st_idx = stage.tensor.st_idx
         region = _region(stage.name)
 
-        if value_mode:
+        if value_mode and stage.name in transposed:
+          # transposed-region stage: identical slicing math with the
+          # two axes walked in swapped order against lane-major values
+          def load(ref: ir.Ref, _st=st_idx, _region=region):
+            if ref.name in stencil.param_names:
+              return params[ref.name][tuple(ref.idx)]
+            src, p_m = parent_val_T(ref.name)
+            idx = []
+            for a in (1, 0):
+              d = dim - 1 - a
+              delta = ref.idx[d] - _st[d]
+              idx.append(slice(_region[a].start + delta - p_m[a][0],
+                               _region[a].stop + delta - p_m[a][0]))
+            return src[tuple(idx)]
+        elif value_mode:
           def load(ref: ir.Ref, _st=st_idx, _region=region):
             if ref.name in stencil.param_names:
               return params[ref.name][tuple(ref.idx)]
@@ -836,9 +922,13 @@ class PallasExecutor:
                                           fast_int_div=True,
                                           fast_rsqrt=True)
           value, _ = evaluator.eval_stmt(stage.tensor)
-          stage_vals[stage.name] = semantics.wrap_promoted(
+          value = semantics.wrap_promoted(
               jnp, value, stage.dtype,
               wrap_free.get(stage.name, False))
+          if stage.name in transposed:
+            stage_vals_T[stage.name] = value
+          else:
+            stage_vals[stage.name] = value
         elif chunk is not None:
           # chunked evaluation: sub-ranges of the region's axis 0, so
           # Mosaic's live fold temporaries are chunk-sized; childless
@@ -876,6 +966,14 @@ class PallasExecutor:
           value, _ = evaluator.eval_stmt(stage.tensor)
           stage_refs[stage.name][region] = semantics.wrap(
               jnp, value, stage.dtype)
+
+      # un-transpose region outputs at TOP level: the conditional store
+      # branches below share parent_val's cache, and a transpose first
+      # materialized inside one pl.when branch would leak into the
+      # others as a captured constant
+      for name in stencil.output_names:
+        if name in transposed:
+          parent_val(name)
 
       for k, name in enumerate(stencil.output_names):
         if value_mode or chunk is not None:

@@ -179,3 +179,24 @@ output dram 2 float: z(0, 0, 0) = b(0, 0, 0) + b(0, 1, 0)
   # with y/z skipped, b must reuse a's slab (a dies at y)
   assert len(slot_dtypes) == 1
   assert slot_of['a'] == slot_of['b']
+
+
+@pytest.mark.parametrize('name', ['erosion', 'xcorr', 'sobel2d'])
+def test_transposed_lane_regions_match_oracle(name):
+  """Slice-mode lane-only stage chains evaluate in transposed layout
+  (lane shifts become sublane slices); bit-exact vs the oracle,
+  including the conditional store classes (the un-transpose must
+  happen outside pl.when — regression for the captured-constant bug)."""
+  stencil = corpus.build(name, tile_size=(256, 0),
+                         optimizations={'computation-reuse': 'greedy'})
+  shape = (96, 256)  # 3 stream blocks at b=32: first/mid/tail classes
+  ex = PallasExecutor(stencil, shape, lane_shift='slice', block_rows=32)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  for out in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out)
+    assert_close_reference(np.asarray(got[out])[region],
+                           want[out][region],
+                           stencil.symbol_table[out].is_float,
+                           'transposed:%s' % name)
