@@ -213,7 +213,8 @@ class PallasExecutor:
                stage_mode: str = 'auto',
                mid_tile: Optional[int] = None,
                compute_chunk: Optional[int] = None,
-               apply_preserve_border: bool = True):
+               apply_preserve_border: bool = True,
+               transpose_lanes: str = 'auto'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -221,6 +222,9 @@ class PallasExecutor:
     # boundary after cropping, so its inner kernel skips the per-shard
     # pass that would be discarded
     self.apply_preserve_border = apply_preserve_border
+    if transpose_lanes not in ('auto', 'on', 'off'):
+      raise ValueError("transpose_lanes must be auto|on|off")
+    self.transpose_lanes = transpose_lanes
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
@@ -551,9 +555,16 @@ class PallasExecutor:
           if (stg.name in outputs_set or
               any(c not in members for c in consumers[stg.name])):
             exits += 1
-        # measured economics: a lane slice costs ~4.5 slots, a sublane
-        # slice ~1.5, a transpose ~2.5 — require a clear net win
-        if 3 * lane_shifts > 2.5 * (len(entries) + exits) + 4:
+        # measured economics (v5e): a transpose costs ~7 slots/cell —
+        # far more than first estimated — so 'auto' additionally caps
+        # the region boundary at two crossings. Measured: erosion
+        # (1 entry + 1 exit) wins +0.02-0.03 roofline, sobel2d
+        # (2 entries + 1 exit) LOSES 0.05, xcorr (3 crossings) is
+        # neutral-to-worse. 'on' applies only the shift-count test.
+        crossings = len(entries) + exits
+        if 3 * lane_shifts <= 2.5 * crossings + 4:
+          continue
+        if self.transpose_lanes == 'on' or crossings <= 2:
           transposed |= members
     # chunked mode stores childless outputs straight into the output
     # block, so they need no slab slot
