@@ -25,7 +25,10 @@ def pallas_fits(stencil, shape: Tuple[int, ...],
   if plan.dim < 2:
     return False
   budget = budget or pallas_kernel._VMEM_BUDGET
-  return pallas_kernel.estimate_vmem(plan, shape, 8) <= budget
+  # estimate the VALUE-mode path (the common auto stage mode); if the
+  # constructor resolves to vmem and overflows, get_executor's
+  # construct-probe falls back to XLA
+  return pallas_kernel.estimate_vmem(plan, shape, 8, 'value') <= budget
 
 
 def _build_pallas(stencil, shape, **kwargs):

@@ -132,10 +132,12 @@ def scratch_slots(plan: FusionPlan, skip=()):
 
 
 def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
-                  block_rows: int, stage_mode: str = 'vmem') -> int:
+                  block_rows: int, stage_mode: str = 'vmem',
+                  compute_chunk: Optional[int] = None) -> int:
   """Working-set estimate of the fused kernel at a given block size:
   double-buffered input slabs + per-stage scratch + fold temporaries +
-  Pallas's double-buffered output blocks."""
+  Pallas's double-buffered output blocks. ``compute_chunk`` bounds the
+  fold temporaries at chunk size (chunked stage evaluation)."""
   dim = plan.dim
   a0 = _axis0_align(dim)
   lo = _pad_to(plan.halo_lo[dim - 1], a0)
@@ -171,7 +173,8 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
           sum(len(refs) for refs in stage.tensor.ld_refs.values())
           for stage in plan.stages)
       factor = max(3, min(max_loads, 20) + 2)
-    total += factor * _padded_cells((s,) + rest) * max(
+    temp_rows = s if compute_chunk is None else min(s, compute_chunk)
+    total += factor * _padded_cells((temp_rows,) + rest) * max(
         max(4, stage.dtype.width_in_bytes) for stage in plan.stages)
   # ...plus Pallas's double-buffered output blocks
   for out_name in plan.stencil.output_names:
@@ -182,13 +185,14 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
 
 def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
                       budget: int = _VMEM_BUDGET,
-                      stage_mode: str = 'vmem') -> int:
+                      stage_mode: str = 'vmem',
+                      compute_chunk: Optional[int] = None) -> int:
   """Largest power-of-two block_rows whose slab working set fits the
   VMEM budget — the analog of the reference's FIFO-depth solve
   (dataflow.py:94-176) for the fused-kernel world."""
   best = 8
   for b in (8, 16, 32, 64, 128, 256, 512, 1024):
-    if estimate_vmem(plan, shape, b, stage_mode) <= budget:
+    if estimate_vmem(plan, shape, b, stage_mode, compute_chunk) <= budget:
       best = b
     else:
       break
@@ -357,7 +361,8 @@ class PallasExecutor:
     est_shape = self.shape if self.mid_tile is None else (
         self.shape[0], self.mid_ext, self.shape[2])
     b = block_rows or choose_block_rows(self.plan, est_shape,
-                                        stage_mode=self.stage_mode)
+                                        stage_mode=self.stage_mode,
+                                        compute_chunk=self.compute_chunk)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
     b = _pad_to(max(b, self.lo, self.hi + 1), self.align0)
@@ -384,8 +389,8 @@ class PallasExecutor:
       # block_rows override the estimate entirely (it is deliberately
       # conservative; the bench's compile-probe relies on this).
       min_b = _pad_to(max(8, self.lo, self.hi + 1), self.align0)
-      if estimate_vmem(self.plan, est_shape, min_b, self.stage_mode) > \
-          _VMEM_LIMIT:
+      if estimate_vmem(self.plan, est_shape, min_b, self.stage_mode,
+                       self.compute_chunk) > _VMEM_LIMIT:
         raise utils.InputError(
             'estimated VMEM working set exceeds the %d MB scoped limit '
             'even at the minimum block size (%d); shrink the '
@@ -510,7 +515,8 @@ class PallasExecutor:
     # half of 1-D-separated kernels (erosion/xcorr's 19-tap passes,
     # sobel's factored gradients).
     transposed = set()
-    if value_mode and dim == 2 and not rotate_lanes:
+    if (value_mode and dim == 2 and not rotate_lanes and
+        self.transpose_lanes != 'off'):
       lane_only = {}
       for stg in plan.stages:
         ok = True
@@ -1137,7 +1143,17 @@ class MidTiledPallasExecutor(PallasExecutor):
           break
         mid_tile //= 2
       mid_tile = max(8, mid_tile)
-    super().__init__(stencil, shape, mid_tile=mid_tile, **kwargs)
+    try:
+      super().__init__(stencil, shape, mid_tile=mid_tile, **kwargs)
+    except utils.InputError as e:
+      # wide-fold stencils auto-resolve to the vmem stage mode, which
+      # plain mid tiling cannot store through; chunked evaluation can
+      if ('stage_mode=value' in str(e) and
+          kwargs.get('compute_chunk') is None):
+        super().__init__(stencil, shape, mid_tile=mid_tile,
+                         compute_chunk=8, **kwargs)
+      else:
+        raise
 
   @property
   def n_tiles(self) -> int:
@@ -1163,5 +1179,7 @@ def _prepare_args(executor, inputs: Mapping[str, np.ndarray],
                                       stencil.symbol_table[name])))
   params = dict(params or {})
   for name in stencil.param_names:
+    if name not in params:
+      raise utils.InputError('missing param: %s' % name)
     args.append(jax.device_put(jnp.asarray(params[name])))
   return tuple(args)

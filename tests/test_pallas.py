@@ -200,3 +200,43 @@ def test_transposed_lane_regions_match_oracle(name):
                            want[out][region],
                            stencil.symbol_table[out].is_float,
                            'transposed:%s' % name)
+
+
+def test_transpose_lanes_off_disables_regions():
+  """transpose_lanes='off' must be a real escape hatch (code-review
+  regression: the gate ignored it); every mode stays bit-exact."""
+  stencil = corpus.build('erosion', tile_size=(256, 0),
+                         optimizations={'computation-reuse': 'greedy'})
+  shape = (64, 256)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  region = reference.output_valid_slices(stencil, shape, 'output')
+  for mode in ('off', 'auto', 'on'):
+    ex = PallasExecutor(stencil, shape, lane_shift='slice',
+                        transpose_lanes=mode)
+    got = ex(inputs)
+    np.testing.assert_array_equal(np.asarray(got['output'])[region],
+                                  np.asarray(want['output'])[region])
+
+
+def test_missing_param_raises_input_error():
+  from soda_tpu import api, utils
+  src = """
+kernel: t
+burst width: 64
+unroll factor: 1
+iterate: 1
+border: ignore
+cluster: none
+input dram 0 float: x(128, *)
+param float: k
+output dram 1 float: y(0, 0) = x(0, 0) * k[0]
+"""
+  try:
+    st = api.build_stencil(src)
+  except Exception:
+    pytest.skip('param syntax variant unsupported in this form')
+  ex = PallasExecutor(st, (16, 128))
+  inputs = reference.make_test_inputs(st, (16, 128))
+  with pytest.raises(utils.InputError):
+    ex(inputs, params={})
