@@ -51,9 +51,25 @@ class ReplicatedExecutor:
 
     n_in = len(stencil.input_names)
     n_par = len(stencil.param_names)
-    # params are shared across replicas: map only the input axes
-    batched = jax.vmap(lambda *args: inner.fn(*args),
-                       in_axes=(0,) * n_in + (None,) * n_par)
+    # params are shared across replicas: map only the input axes.
+    # vmap over a COMPILED Pallas kernel does not lower on TPU (the
+    # manual-DMA HBM input specs reject batched index maps), so the
+    # fused-kernel inner maps sequentially instead — still R grids per
+    # single host dispatch, which is the documented win for small
+    # grids; interpret-mode and XLA inners batch via vmap
+    from jax import lax
+    compiled_pallas = not getattr(inner, 'interpret', True)
+    if compiled_pallas:
+      def batched(*args):
+        ins, pars = args[:n_in], args[n_in:]
+
+        def body(xs):
+          return inner.fn(*xs, *pars)
+
+        return lax.map(body, tuple(ins))
+    else:
+      batched = jax.vmap(lambda *args: inner.fn(*args),
+                         in_axes=(0,) * n_in + (None,) * n_par)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       axis = mesh.axis_names[0]
