@@ -30,20 +30,8 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-# peak HBM bandwidth by device kind substring (GB/s)
-PEAKS = (
-    ('v5 lite', 819.0), ('v5e', 819.0), ('v5p', 2765.0),
-    ('v4', 1228.0), ('v6 lite', 1640.0), ('v6e', 1640.0),
-    ('v3', 900.0), ('v2', 700.0),
-)
-
-
-def peak_bandwidth(device) -> float:
-  kind = getattr(device, 'device_kind', '').lower()
-  for sub, bw in PEAKS:
-    if sub in kind:
-      return bw
-  return 819.0  # conservative default
+# peak HBM bandwidth lookup shared with the CLI --bench path
+from soda_tpu.profiling import peak_bandwidth  # noqa: E402
 
 
 # the FULL 11-kernel corpus (the reference re-runs all 11 per knob,

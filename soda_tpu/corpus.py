@@ -217,6 +217,11 @@ def _contrast_terms():
       for xx in {8 + dx, 8 - dx}:
         for yy in {y, 16 - y}:
           coeffs[(xx, yy)] = c
+  # the reference table is NOT perfectly symmetric: it omits the
+  # (14, 6) reflection (tests/src/contrast.soda has 196 terms, with
+  # (2, 6)/(2, 10)/(14, 10) present but (14, 6) absent) — match it
+  # term for term
+  coeffs.pop((14, 6), None)
   return ' + '.join('input(%d, %d) * %d' % (x, y, c)
                     for (x, y), c in sorted(coeffs.items(),
                                             key=lambda kv: (kv[0][1],

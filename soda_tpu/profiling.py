@@ -20,7 +20,22 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
+from soda_tpu import utils
+
 _logger = logging.getLogger().getChild(__name__)
+
+
+def peak_bandwidth(device) -> float:
+  """Peak HBM bandwidth of a device in GB/s (by device_kind substring;
+  conservative default for unknown parts)."""
+  peaks = (('v5 lite', 819.0), ('v5e', 819.0), ('v5p', 2765.0),
+           ('v4', 1228.0), ('v6 lite', 1640.0), ('v6e', 1640.0),
+           ('v3', 900.0), ('v2', 700.0))
+  kind = getattr(device, 'device_kind', '').lower()
+  for sub, bw in peaks:
+    if sub in kind:
+      return bw
+  return 819.0
 
 
 @contextlib.contextmanager
@@ -65,20 +80,31 @@ class Throughput:
 
 
 def measure(executor, inputs, params=None, reps: int = 3) -> Throughput:
-  """Wall-clock measurement of an executor (device-resident args).
+  """Throughput measurement of an executor (device-resident args).
 
-  NOTE: on remote-attached devices prefer the chained-loop slope method
-  (slope_time below) — per-call host timing can under-report.
+  Uses the chained-loop SLOPE method: per-call host timing
+  under-reports on remote-attached devices (dispatch acks can arrive
+  before device completion), so a naive clock here would contradict
+  the project's own bench methodology.
   """
   import jax
   stencil = executor.stencil
-  args = executor.prepare(inputs, params)
-  jax.block_until_ready(executor.fn(*args))  # warm-up (discarded)
-  t0 = time.perf_counter()
-  for _ in range(reps):
-    outs = executor.fn(*args)
-  jax.block_until_ready(outs)
-  seconds = (time.perf_counter() - t0) / reps
+  args = list(executor.prepare(inputs, params))
+  in_b, out_b = stream_bytes(stencil, executor.shape)
+  try:
+    peak = peak_bandwidth(jax.devices()[0])
+    seconds, _ = slope_time(executor.fn, args,
+                            chain_input_index(stencil),
+                            (in_b + out_b) / (peak * 1e9), reps=reps)
+  except (utils.InputError, ValueError, TypeError):
+    # unchainable signature (outputs do not feed back as inputs):
+    # fall back to wall clock, which may under-report over tunnels
+    jax.block_until_ready(executor.fn(*args))  # warm-up (discarded)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+      outs = executor.fn(*args)
+    jax.block_until_ready(outs)
+    seconds = (time.perf_counter() - t0) / reps
   cells = int(np.prod(executor.shape))
   hbm = sum(cells * stencil.symbol_table[n].width_in_bytes
             for n in stencil.input_names + stencil.output_names)

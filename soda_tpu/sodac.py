@@ -300,12 +300,19 @@ def _run(stencil, args) -> int:
   # squared-form criterion, reference frt/host.py:633-657 (their
   # ``threshold *= threshold``); default relaxed to 1e-4 for XLA/Mosaic
   # FMA contraction vs the individually-rounded oracle (tests/checks.py)
-  threshold = float(os.environ.get('THRESHOLD', '0.0001')) ** 2
+  default = utils.threshold_for(stencil.app_name)
+  threshold = float(os.environ.get('THRESHOLD', repr(default))) ** 2
   errors = 0
   for name in stencil.output_names:
-    region = reference.output_valid_slices(stencil, shape, name)
-    got = np.asarray(outs[name])[region]
-    expect = want[name][region]
+    if stencil.preserve_border:
+      # preserve mode defines the WHOLE grid (boundary carries the
+      # paired input) — compare it all, like the hardware gate
+      got = np.asarray(outs[name])
+      expect = np.asarray(want[name])
+    else:
+      region = reference.output_valid_slices(stencil, shape, name)
+      got = np.asarray(outs[name])[region]
+      expect = want[name][region]
     if stencil.symbol_table[name].is_float:
       d2 = (got.astype(np.float64) - expect.astype(np.float64)) ** 2
       w2 = expect.astype(np.float64) ** 2
@@ -329,9 +336,11 @@ def _run(stencil, args) -> int:
       # (see soda_tpu.profiling.slope_time)
       chain_idx = chain_input_index(stencil)
       in_b, out_b = stream_bytes(stencil, shape)
+      from soda_tpu.profiling import peak_bandwidth
+      peak = peak_bandwidth(jax.devices()[0]) * 1e9
       args_pos = list(executor.prepare(inputs, params))
       dt, _ = slope_time(executor.fn, args_pos, chain_idx,
-                         (in_b + out_b) / 800e9)
+                         (in_b + out_b) / peak)
       gbps = (in_b + out_b) / dt / 1e9
       print('Effective HBM bandwidth: %.1f GB/s' % gbps)
     except Exception:  # noqa: BLE001 - unchainable: wall clock

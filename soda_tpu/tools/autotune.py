@@ -58,7 +58,8 @@ def _time_config(stencil, shape, cfg: Dict, reps: int = 2) -> float:
 
   ex = PallasExecutor(stencil, shape, **cfg)
   inputs = reference.make_test_inputs(stencil, shape)
-  args = ex.prepare(inputs)
+  params = reference.make_test_params(stencil)
+  args = ex.prepare(inputs, params)
   jax.block_until_ready(ex.fn(*args))  # compile + warm up
 
   # chain a handful of dependent applications so device time dominates
@@ -120,7 +121,13 @@ def tune(stencil, shape, cache_path: str = DEFAULT_CACHE,
 
   best_cfg: Dict = {}
   best_dt = float('inf')
-  for cfg in candidate_configs(stencil, shape):
+  try:
+    candidates = candidate_configs(stencil, shape)
+  except Exception as e:  # noqa: BLE001 - e.g. 1-D / over-VMEM stencil
+    _logger.warning('tune: cannot build candidates (%s); untuned',
+                    str(e).splitlines()[0][:80])
+    return {}
+  for cfg in candidates:
     t0 = time.time()
     try:
       dt = _time_config(stencil, shape, cfg)
@@ -157,7 +164,14 @@ def tune(stencil, shape, cache_path: str = DEFAULT_CACHE,
 
 def tuned_executor(stencil, shape, cache_path: str = DEFAULT_CACHE,
                    **kwargs):
+  from soda_tpu import utils
+  from soda_tpu.backend import get_executor
   from soda_tpu.backend.pallas_kernel import PallasExecutor
   cfg = tune(stencil, shape, cache_path)
   cfg.update(kwargs)
-  return PallasExecutor(stencil, shape, **cfg)
+  try:
+    return PallasExecutor(stencil, shape, **cfg)
+  except utils.InputError:
+    # stencils the fused kernel cannot take (f16 on TPU, over-VMEM,
+    # 1-D, cluster coarse) go through the normal dispatch instead
+    return get_executor(stencil, shape, 'auto')

@@ -102,6 +102,12 @@ def main() -> int:
   import jax
   from soda_tpu import corpus
   do_variants = '--variants' in sys.argv
+  if '--shape-scale' in sys.argv:
+    # scale the STREAMING extent (the unbounded axis) of every case
+    k = int(sys.argv[sys.argv.index('--shape-scale') + 1])
+    for name, shp in list(SHAPES.items()):
+      SHAPES[name] = (shp[0] * k,) + tuple(shp[1:])
+    print('shape-scale %dx: %s' % (k, SHAPES))
   print('device: %s backend=%s' % (jax.devices()[0],
                                    jax.default_backend()))
   failures = 0

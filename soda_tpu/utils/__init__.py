@@ -102,3 +102,20 @@ def idx2str(idx) -> str:
 
 def lst2str(lst) -> str:
   return '[%s]' % ', '.join(map(str, lst))
+
+
+# -- correctness thresholds (reference frt/host.py:633-657 squared form) -------
+# default relaxed to 1e-4 for XLA/Mosaic FMA contraction vs the
+# individually-rounded oracle; contrast's +-100-coefficient cancelling
+# sums legitimately differ by one FMA-contracted ulp of a ~5e3-magnitude
+# running sum (see tests/checks.py for the full rationale)
+DEFAULT_THRESHOLD = 1e-4
+KERNEL_THRESHOLDS = {'contrast': 1e-3}
+
+
+def threshold_for(app_name: str) -> float:
+  """Per-kernel float comparison threshold (squared-form criterion)."""
+  for key, value in KERNEL_THRESHOLDS.items():
+    if app_name.startswith(key):
+      return value
+  return DEFAULT_THRESHOLD
