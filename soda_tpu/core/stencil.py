@@ -223,63 +223,71 @@ class Stencil:
     return propagate_type
 
   # -- tensor DAG ---------------------------------------------------------------
+  def _pipeline_rename(self, iteration: int) -> Dict[str, str]:
+    """Name table for pipeline copy ``iteration`` of an iterative
+    stencil: inputs/locals of copy k > 0 get an ``_iterK`` suffix, and
+    each copy's output IS the next copy's input (the sweeps chain into
+    one deeper pipeline — role of reference core.py:320-336); the last
+    copy keeps the declared output names. Params are shared across
+    copies."""
+    suffix = '_iter%d' % iteration
+    table = {name: name + suffix if iteration else name
+             for name in itertools.chain(self.input_names, self.local_names)}
+    if iteration == self.iterate - 1:
+      table.update((name, name) for name in self.output_names)
+    else:
+      # input/output counts match whenever iterate > 1 (ctor-enforced)
+      for out_name, in_name in zip(self.output_names, self.input_names):
+        table[out_name] = in_name + '_iter%d' % (iteration + 1)
+    for name in self.param_names:
+      table[name] = name
+    return table
+
   @cached_property
   def tensors(self) -> 'collections.OrderedDict[str, Tensor]':
     """Builds the high-level DAG, unrolling ``iterate`` into a deeper
-    pipeline (reference core.py:307-456) and solving the reuse LP."""
+    pipeline (role of reference core.py:307-456), then solves the
+    reuse-offset LP."""
     tensor_map: 'collections.OrderedDict[str, Tensor]' = \
         collections.OrderedDict()
     for stmt in self.input_stmts:
       tensor_map[stmt.name] = Tensor(stmt, self.tile_size)
 
-    def name_in_iter(name: str, iteration: int) -> str:
-      if name in self.input_names:
-        return name + '_iter%d' % iteration if iteration > 0 else name
-      if name in self.output_names:
-        if iteration < self.iterate - 1:
-          return (self.input_names[self.output_names.index(name)] +
-                  '_iter%d' % (iteration + 1))
-        return name
-      if name in self.local_names:
-        return name + '_iter%d' % iteration if iteration > 0 else name
-      if name in self.param_names:
-        return name
-      raise utils.InternalError('unknown name: %s' % name)
-
     for iteration in range(self.iterate):
+      renames = self._pipeline_rename(iteration)
 
-      def mutate_name_callback(obj, _):
+      def rename_ref(obj, _):
         if isinstance(obj, ir.Ref):
           if obj.name not in self.symbol_table:
             raise utils.SemanticError(
                 'undefined tensor %r referenced (declared names: %s)' %
                 (obj.name, ', '.join(sorted(self.symbol_table))))
           obj.dtype = self.symbol_table[obj.name]
-          obj.name = name_in_iter(obj.name, iteration)  # noqa: B023
+          obj.name = renames[obj.name]  # noqa: B023
         return obj
 
-      tensors = []
-      for stmt in itertools.chain(self.local_stmts, self.output_stmts):
-        tensor = Tensor(stmt.visit(mutate_name_callback), self.tile_size)
-        tensor_map[tensor.name] = tensor
-        tensors.append(tensor)
-
-      for tensor in tensors:
+      copies = [Tensor(stmt.visit(rename_ref), self.tile_size)
+                for stmt in itertools.chain(self.local_stmts,
+                                            self.output_stmts)]
+      tensor_map.update((t.name, t) for t in copies)
+      for tensor in copies:
         tensor.propagate_type()
-        loads = ir_visitor.get_load_dict(tensor)
-        for parent_name, ld_refs in loads.items():
-          if parent_name in self.param_names:
-            continue
-          ld_refs = sorted(
-              ld_refs,
-              key=lambda ref: utils.serialize(ref.idx, self.tile_size))
-          parent_tensor = tensor_map[parent_name]
-          parent_tensor.children[tensor.name] = tensor
-          tensor.parents[parent_name] = parent_tensor
-          tensor.ld_refs[parent_name] = ld_refs
+        self._wire_edges(tensor, tensor_map)
 
     self._solve_reuse_offsets(tensor_map)
     return tensor_map
+
+  def _wire_edges(self, tensor: Tensor, tensor_map) -> None:
+    """Connect ``tensor`` to the producers it loads from, recording the
+    load refs in serialized order."""
+    for parent_name, ld_refs in ir_visitor.get_load_dict(tensor).items():
+      if parent_name in self.param_names:
+        continue  # params are broadcast, not streamed
+      parent = tensor_map[parent_name]
+      parent.children[tensor.name] = tensor
+      tensor.parents[parent_name] = parent
+      tensor.ld_refs[parent_name] = sorted(
+          ld_refs, key=lambda ref: utils.serialize(ref.idx, self.tile_size))
 
   def _solve_reuse_offsets(self, tensor_map) -> None:
     """ILP #1: optimal reuse-buffer offsets (reference core.py:371-426).

@@ -15,7 +15,7 @@ import collections
 import itertools
 import logging
 import operator
-from typing import Dict, Iterator, List, MutableMapping, Optional, Sequence, Tuple, Union
+from typing import Dict, List, MutableMapping, Optional, Sequence, Tuple, Union
 
 from soda_tpu.ir import arithmetic, mutator, nodes as ir
 from soda_tpu.ir import visitor
@@ -30,68 +30,75 @@ _logger = logging.getLogger().getChild(__name__)
 
 
 def extract_attr(node: ir.Node) -> Tuple[Tuple[int, ...], ir.Node]:
-  """Split a node into (load index, normalized coefficient subtree)
-  (reference computation_reuse.py:43-56)."""
-  load = visitor.get_load_set(node)[0]
-  return load.idx, mutator.shift(node, load.idx)
+  """Decompose an operand into its (rattr, aattr) pair.
+
+  The relative attribute is the index of the operand's unique tensor
+  load; the absolute attribute is the operand with that load moved to
+  the origin (role of reference computation_reuse.py:43-56; callers
+  guarantee exactly one load per operand).
+  """
+  (ref,) = visitor.get_load_set(node)
+  return ref.idx, mutator.shift(node, ref.idx)
 
 
 def assemble_attr(rattr: Tuple[int, ...], aattr: ir.Node) -> ir.Node:
-  """Inverse of extract_attr (reference computation_reuse.py:59-72)."""
+  """Place a normalized coefficient subtree back at index ``rattr`` —
+  the inverse of :func:`extract_attr`."""
   return mutator.shift(aattr, rattr, op=operator.add)
 
 
 class Linearizer:
-  """Linearize N-D relative indices into scalars and back
-  (reference computation_reuse.py:75-156).
+  """Bijection between N-D relative indices and scalar offsets.
 
-  The linearized size of each dimension is (span * 2 - 1) so that any
-  difference of two indices remains uniquely decodable; if a tile size
-  is given, the non-streaming dims use the tile sizes instead.
+  Role of reference computation_reuse.py:75-156. Each dimension gets a
+  radix of ``2 * span - 1`` so that *differences* of encoded offsets
+  decode to unique index deltas (a distance can reach from -span+1 to
+  span-1 per dim); with a tile size, every non-streaming dimension uses
+  the tile extent as its radix instead, making encoded offsets directly
+  comparable to serialized tile positions.
+
+  Attributes ``maxs``/``mins``/``sizes`` are part of the external-CR
+  JSON protocol; ``dims``/``weights``/``num_dim`` are used by the
+  schedulers' dimension-alignment filters.
   """
 
   def __init__(self, rattrs: Sequence[Sequence[int]],
                tile_size: Sequence[int] = ()):
-    num_dim = len(rattrs[0])
-    self.maxs = [0] * num_dim
-    self.mins = [0] * num_dim
-    for d in self.dims:
-      self.maxs[d] = max(rattr[d] for rattr in rattrs)
-      self.mins[d] = min(rattr[d] for rattr in rattrs)
+    per_dim = list(zip(*rattrs))  # transpose: one tuple per dimension
+    self.mins = [min(vals) for vals in per_dim]
+    self.maxs = [max(vals) for vals in per_dim]
+    spans = [hi - lo + 1 for lo, hi in zip(self.mins, self.maxs)]
     if tile_size:
-      self.sizes = tuple(tile_size)[:-1] + (
-          (self.maxs[-1] - self.mins[-1] + 1) * 2 - 1,)
+      self.sizes = tuple(tile_size)[:-1] + (2 * spans[-1] - 1,)
     else:
-      self.sizes = tuple(
-          (self.maxs[d] - self.mins[d] + 1) * 2 - 1 for d in self.dims)
+      self.sizes = tuple(2 * span - 1 for span in spans)
+    strides = [1]
+    for radix in self.sizes[:-1]:
+      strides.append(strides[-1] * radix)
+    self._strides = tuple(strides)
 
   @property
   def num_dim(self) -> int:
-    return len(self.maxs)
-
-  @property
-  def weights(self) -> List[int]:
-    weights = [1] * self.num_dim
-    for d in self.dims[1:]:
-      weights[d] = weights[d - 1] * self.sizes[d - 1]
-    return weights
+    return len(self.mins)
 
   @property
   def dims(self) -> Tuple[int, ...]:
     return tuple(range(self.num_dim))
 
-  def apply(self, rattr: Sequence[int]) -> int:
-    return sum(
-        (rval - min_val) * weight
-        for rval, weight, min_val in zip(rattr, self.weights, self.mins))
+  @property
+  def weights(self) -> List[int]:
+    return list(self._strides)
 
-  def restore(self, rattr: int) -> Tuple[int, ...]:
-    restored = []
-    for d in reversed(self.dims):
-      rval = rattr // self.weights[d]
-      rattr -= rval * self.weights[d]
-      restored.append(self.mins[d] + rval)
-    return tuple(reversed(restored))
+  def apply(self, rattr: Sequence[int]) -> int:
+    return sum(stride * (val - lo) for stride, val, lo
+               in zip(self._strides, rattr, self.mins))
+
+  def restore(self, offset: int) -> Tuple[int, ...]:
+    idx = [0] * self.num_dim
+    for d in range(self.num_dim - 1, -1, -1):
+      digit, offset = divmod(offset, self._strides[d])
+      idx[d] = self.mins[d] + digit
+    return tuple(idx)
 
   def __call__(self, rattr):
     if isinstance(rattr, int):
@@ -99,21 +106,6 @@ class Linearizer:
     if isinstance(rattr, Sequence) and isinstance(rattr[0], int):
       return self.apply(rattr)
     raise TypeError('rattr needs to be an int or a Sequence of int')
-
-
-def range_from_middle(n: int) -> Iterator[int]:
-  """Yield 0..n-1 starting from the middle outward (reference
-  computation_reuse.py:159-177); improves DP cache behavior."""
-  middle = n // 2
-  if n % 2 == 0:
-    for shift in range(0, middle):
-      yield middle - shift - 1
-      yield middle + shift
-  else:
-    yield middle
-    for shift in range(1, middle + 1):
-      yield middle - shift
-      yield middle + shift
 
 
 def computation_reuse(stencil):

@@ -63,8 +63,13 @@ class CommSchedule:
   the *same* operation (commutative reduction).
   """
 
-  __slots__ = ('left', 'right', 'distance', '_norm', '_hash', '_children',
-               '_cost', '_dist', '_dep')
+  # `base` is only ever set on the root of a tree returned by an
+  # external scheduler whose protocol re-sorts rattrs (the reference's
+  # soda-cr anchors the tree at the RETURNED rattrs[0], reference
+  # computation_reuse.py:1707); left unset elsewhere so that
+  # ``getattr(sched, 'base', default)`` falls through to the default.
+  __slots__ = ('left', 'right', 'distance', 'base', '_norm', '_hash',
+               '_children', '_cost', '_dist', '_dep')
 
   def __init__(self, left: Payload, right: Payload, distance: int):
     self.left = left
@@ -166,6 +171,13 @@ class CommSchedule:
       if count > 1 and sched not in var_of:
         var_of[sched] = len(var_of) + 1
     table = {vid: s for s, vid in var_of.items()}
+    # Offsets below are recorded in each variable's NORMALIZED frame
+    # (least leaf at 0) so the cost is anchoring-invariant: external
+    # schedulers may return trees rooted anywhere (e.g. at the largest
+    # rattr), and the LP pins both the input's and the output's produce
+    # offset at 0 — negative root-frame offsets would be infeasible.
+    shifts = {s: min(off for off, _ in s.attrs_with_offset(0))
+              for s in var_of}
 
     dependers: Dict[int, Dict[int, None]] = {}
     dependees: Dict[int, Dict[int, Tuple[int, int]]] = {}
@@ -173,9 +185,9 @@ class CommSchedule:
     def accesses(sched: CommSchedule, offset=None):
       vid = var_of.get(sched)
       if vid is not None and offset is not None:
-        yield offset, vid
+        yield offset + shifts[sched], vid
         return
-      offset = offset or 0
+      offset = -shifts.get(sched, 0) if offset is None else offset
       for child, off in ((sched.left, offset),
                          (sched.right, offset + sched.distance)):
         if isinstance(child, CommSchedule):
@@ -446,99 +458,119 @@ class GreedySchedules(ScheduleBase):
   def comparison_key(self) -> CommSchedule:
     return linear_schedule(tuple(self))
 
+  def _operation_pairs(self
+                       ) -> Tuple[Dict[CommSchedule, List[Tuple[int, int]]],
+                                  Set[CommSchedule]]:
+    """Discover every reusable operation and its independent pair set.
+
+    An *operation* is a (payload, payload, distance) triple; a *pair*
+    (i, j) of operand indices can compute it when operand j sits
+    exactly ``distance`` past operand i with the matching payloads.
+    Pairs sharing an operand form arithmetic-progression chains; from
+    each chain an independent subset is selected (alternate pairs —
+    heads-first for odd chains; for even chains, whichever alternation
+    keeps the overall rattr span smaller). Returns the per-operation
+    selections (only operations usable at least twice) plus the set of
+    operations whose chains overlapped.
+    """
+    pos = {attr: k for k, attr in enumerate(self)}
+    n = len(self)
+    selected: 'collections.OrderedDict[CommSchedule, List[Tuple[int, int]]]' \
+        = collections.OrderedDict()
+    contended: Set[CommSchedule] = set()
+    for i in range(n):
+      for j in range(i + 1, n):
+        r_i, a_i = self[i]
+        r_j, a_j = self[j]
+        op = CommSchedule(a_i, a_j, r_j - r_i)
+        if op in selected:
+          continue
+        # left-index -> right-index over all pairs computing `op`
+        succ: Dict[int, int] = {}
+        for k, (r_k, a_k) in enumerate(self):
+          if a_k == a_i:
+            mate = pos.get((r_k + op.distance, a_j))
+            if mate is not None and mate != k:
+              succ[k] = mate
+        is_right = set(succ.values())
+        chains = []
+        for head in sorted(succ):
+          if head in is_right:
+            continue  # mid-chain; reached from its chain's head
+          chain = []
+          k = head
+          while k in succ:
+            chain.append((k, succ[k]))
+            k = succ[k]
+          chains.append(chain)
+          if len(chain) > 1:
+            contended.add(op)
+        picks: List[Tuple[int, int]] = []
+        for chain in chains:
+          if len(chain) % 2:
+            picks.extend(chain[::2])
+        lo = min((p[0] for p in picks), default=0)
+        hi = max((p[0] for p in picks), default=-1)
+        for chain in chains:
+          if len(chain) % 2 == 0:
+            span = [self.rattrs[max(chain[s - 2][0], hi)] -
+                    self.rattrs[min(chain[s][0], lo)] for s in (0, 1)]
+            picks.extend(chain[1 if span[1] < span[0] else 0::2])
+        selected[op] = sorted(picks)
+    return ({op: v for op, v in selected.items() if len(v) > 1},
+            contended)
+
+  def _apply_operations(self, first: CommSchedule,
+                        ops: Dict[CommSchedule, List[Tuple[int, int]]]
+                        ) -> 'GreedySchedules':
+    """Reduce the operand set: fold ``first``'s pairs into single
+    operands, then every other operation's (most pairs first, shorter
+    distances breaking ties), skipping any operation left with fewer
+    than two disjoint pairs."""
+    kept = collections.OrderedDict(enumerate(self))
+    taken: Set[int] = set()
+    order = [first] + sorted(ops, key=lambda s: (-len(ops[s]), s.distance))
+    for op in order:
+      free = [(i, j) for i, j in ops[op]
+              if i not in taken and j not in taken]
+      if len(free) < 2:
+        continue
+      for i, j in free:
+        kept[i] = (kept[i][0], op)
+        del kept[j]
+        taken.update((i, j))
+    rattrs, aattrs = zip(*kept.values())
+    return GreedySchedules(rattrs, aattrs, self.linearizer)
+
+  def _axis_aligned(self, distance: int, dim: int) -> bool:
+    """True iff two points ``distance`` apart differ in exactly
+    dimension ``dim``."""
+    delta = self.linearizer(distance)
+    return all((d == dim) == (val != lo) for d, (val, lo)
+               in enumerate(zip(delta, self.linearizer.mins)))
+
   @property
   def generator(self) -> Iterator[CommSchedule]:
-    attr_map = {attr: idx for idx, attr in enumerate(self)}
-    reuses: Dict[CommSchedule, List[Tuple[int, int]]] = {}
-    has_conflict: Dict[CommSchedule, bool] = collections.defaultdict(bool)
-    for left, right in itertools.combinations(self, 2):
-      left_rattr, left_aattr = left
-      right_rattr, right_aattr = right
-      distance = right_rattr - left_rattr
-      operation = CommSchedule(left_aattr, right_aattr, distance)
-      if operation in reuses:
-        continue
-      reuses[operation] = []
-      group_lists: List[List[Tuple[int, int]]] = []
-      group_table: Dict[int, int] = {}
-      for idx_l, (rattr_l, aattr_l) in enumerate(self):
-        if aattr_l != left_aattr:
-          continue
-        idx_r = attr_map.get((rattr_l + distance, right_aattr))
-        if idx_r is None or idx_r == idx_l:
-          continue
-        group_id = group_table.get(idx_l)
-        if group_id is None:
-          group_id = group_table.get(idx_r)
-        if group_id is None:
-          group_id = len(group_lists)
-          group_lists.append([])
-        group_lists[group_id].append((idx_l, idx_r))
-        group_table[idx_l] = group_id
-        group_table[idx_r] = group_id
-
-      for group_list in group_lists:
-        if len(group_list) > 1:
-          has_conflict[operation] = True
-      for group_list in group_lists:
-        if len(group_list) % 2 != 0:
-          reuses[operation].extend(group_list[::2])
-      min_idx_l = min((x[0] for x in reuses[operation]), default=0)
-      max_idx_l = max((x[0] for x in reuses[operation]), default=-1)
-      for group_list in group_lists:
-        if len(group_list) % 2 == 0:
-          span_0 = (self.rattrs[max(group_list[-2][0], max_idx_l)] -
-                    self.rattrs[min(group_list[0][0], min_idx_l)])
-          span_1 = (self.rattrs[max(group_list[-1][0], max_idx_l)] -
-                    self.rattrs[min(group_list[1][0], min_idx_l)])
-          reuses[operation].extend(
-              group_list[1 if span_1 < span_0 else 0::2])
-      reuses[operation].sort()
-
-    reuses = {k: v for k, v in reuses.items() if len(v) > 1}
-    if not reuses:
+    ops, contended = self._operation_pairs()
+    if not ops:
       yield linear_schedule(tuple(self))
       return
 
-    def aligns(dis: int, dim: int) -> bool:
-      zipped = zip(self.linearizer(dis), self.linearizer.mins,
-                   self.linearizer.dims)
-      return all(idx != min_idx if d == dim else idx == min_idx
-                 for idx, min_idx, d in zipped)
-
-    if self.linearizer is not None and len(reuses) > len(self):
+    # when operations outnumber operands, restrict the search to
+    # reuses along a single grid dimension (prefer the streaming one)
+    if self.linearizer is not None and len(ops) > len(self):
       for dim in reversed(self.linearizer.dims):
-        if any(aligns(op.distance, dim) for op in reuses):
-          reuses = {
-              k: [(il, ir_) for il, ir_ in v
-                  if aligns(self.rattrs[ir_] - self.rattrs[il], dim)]
-              for k, v in reuses.items() if aligns(k.distance, dim)
+        if any(self._axis_aligned(op.distance, dim) for op in ops):
+          ops = {
+              op: [(i, j) for i, j in pairs if self._axis_aligned(
+                  self.rattrs[j] - self.rattrs[i], dim)]
+              for op, pairs in ops.items()
+              if self._axis_aligned(op.distance, dim)
           }
           break
 
-    candidates = []
-    for op in reuses:
-      new_attrs = collections.OrderedDict(enumerate(self))
-      used: Set[int] = set()
-
-      def do_reuse_for(schedule: CommSchedule) -> None:
-        pairs = [(il, ir_) for il, ir_ in reuses[schedule]
-                 if il not in used and ir_ not in used]
-        if len(pairs) > 1:
-          for il, ir_ in pairs:
-            new_attrs[il] = (new_attrs[il][0], schedule)
-            del new_attrs[ir_]
-            used.update({il, ir_})
-
-      do_reuse_for(op)
-      for operation in sorted(reuses,
-                              key=lambda s: (-len(reuses[s]), s.distance)):
-        do_reuse_for(operation)
-      new_rattrs, new_aattrs = zip(*new_attrs.values())
-      candidates.append((has_conflict[op],
-                         GreedySchedules(new_rattrs, new_aattrs,
-                                         self.linearizer)))
-
+    candidates = [(op in contended, self._apply_operations(op, ops))
+                  for op in ops]
     for _, schedule in heapq.nsmallest(self.num_pruned, candidates):
       yield from schedule.generator
 
