@@ -12,8 +12,10 @@ decision rather than an IR rewrite):
   - ``none`` / ``full``: every stage fused into ONE kernel (values flow
     through registers/VMEM where the reference used FIFOs).
   - ``coarse``: one kernel per stage (debugging / VMEM pressure).
-  - ``fine``: like coarse but splits the lane dimension into
-    ``unroll_factor`` independent column groups per stage.
+  - ``fine``: accepted and treated as ``coarse``. The reference's fine
+    granularity splits each stage per unroll PE id (cluster.py:84-94);
+    on TPU there is no schedulable unit below one kernel — the VPU's
+    8x128 lanes already are the "PEs" — so no lane-group split exists.
 
 Array-axis convention (used by every executor in this package): public
 arrays are indexed in REVERSED DSL-dimension order — DSL dimension 0

@@ -348,17 +348,43 @@ class CommSchedules(ScheduleBase):
   # degrade to the greedy scheduler (the reference degrades via its 300 s
   # timeout to best-so-far, which is equivalent in effect)
   max_exact_operands = 10
+  # ablation toggles (interface role of reference :920-932; the knob
+  # set matches THIS search's real optimizations: sub-multiset
+  # memoization and unique-expression-signature dedup)
+  memoize = True
+  dedup = True
 
   def __init__(self, rattrs, aattrs=None, linearizer=None, cache=None):
     super().__init__(rattrs, aattrs, linearizer, cache)
     self._memo: Dict = cache if cache is not None else {}
     self._deadline = None
+    self.stat = {'cache_hit': 0, 'cache_miss': 0, 'schedules': 0}
 
   @classmethod
   def set_optimizations(cls, opts) -> None:
-    # ablation hooks kept for interface parity; the rebuilt search is
-    # always memoized + deduplicated
-    cls.optimizations = tuple(opts)
+    """Toggle search optimizations for ablation studies.
+
+    Accepted (each with a ``no-`` prefix to disable): ``caching`` (the
+    sub-multiset memo table) and ``dedup`` (signature-based candidate
+    pruning). Both ablations preserve the search result; tests assert
+    that (the reference runs its scheduler test matrix the same way,
+    test_computation_reuse.py:211-240).
+    """
+    for opt in opts:
+      name = opt[3:] if opt.startswith('no-') else opt
+      if name == 'caching':
+        cls.memoize = not opt.startswith('no-')
+      elif name == 'dedup':
+        cls.dedup = not opt.startswith('no-')
+      else:
+        raise utils.InputError('unknown optimization toggle: %s' % opt)
+
+  def print_stats(self, logger=None) -> None:
+    log = logger or _logger.info
+    hit, miss = self.stat['cache_hit'], self.stat['cache_miss']
+    rate = hit / (hit + miss) if hit + miss else 0.0
+    log('cache: | hit: %d | miss: %d | hit rate: %2.3f %% | '
+        'schedules: %d', hit, miss, rate * 100, self.stat['schedules'])
 
   def _candidates(self, operands: Tuple[Tuple[int, Payload], ...]
                   ) -> List[CommSchedule]:
@@ -366,15 +392,21 @@ class CommSchedules(ScheduleBase):
     if len(operands) == 1:
       raise utils.InternalError('cannot schedule a single operand')
     key = operands
-    hit = self._memo.get(key)
-    if hit is not None:
-      return hit
+    if self.memoize:
+      hit = self._memo.get(key)
+      if hit is not None:
+        self.stat['cache_hit'] += 1
+        return hit
+      self.stat['cache_miss'] += 1
     results: Dict[FrozenSet, CommSchedule] = {}
+    kept: List[CommSchedule] = []
     n = len(operands)
     if n == 2:
       (r0, a0), (r1, a1) = operands
       sched = CommSchedule(a0, a1, r1 - r0)
-      self._memo[key] = [sched]
+      self.stat['schedules'] += 1
+      if self.memoize:
+        self._memo[key] = [sched]
       return [sched]
     indices = list(range(n))
     truncated = False
@@ -401,17 +433,21 @@ class CommSchedules(ScheduleBase):
       for l in lefts:
         for r in rights:
           sched = CommSchedule(l, r, r_origin - l_origin)
+          self.stat['schedules'] += 1
+          if not self.dedup:
+            kept.append(sched)
+            continue
           sig = frozenset(sched.uniq_expr_set)
           prev = results.get(sig)
           if prev is None:
             results[sig] = sched
-    out = list(results.values())
+    out = kept if not self.dedup else list(results.values())
     # a deadline-truncated enumeration must not poison the shared
     # cache: later (possibly deadline-free) queries would silently
     # reuse the incomplete candidate list. Re-check the clock: a CHILD
     # recursion may have truncated after this frame's last own check
     # (the deadline is monotonic, so a fired deadline is still fired)
-    if not truncated and not (
+    if self.memoize and not truncated and not (
         self._deadline and time.monotonic() > self._deadline):
       self._memo[key] = out
     return out

@@ -58,6 +58,17 @@ class ShardedExecutor:
     dim = self.plan.dim
     if mesh is None:
       devices = np.array(jax.devices())
+      # DSL `dram` bank annotations are the reference's data-parallel
+      # width request (docs/data-layout.md:62-127: elements cyclically
+      # partitioned over banks); the mesh-sharding analog is the
+      # default shard count. Multiple declared banks pick that many
+      # devices for the default 1-D mesh (capped at what exists); an
+      # explicit `mesh=` always wins.
+      n_banks = max((len(getattr(stmt, 'dram', ()) or ())
+                     for stmt in stencil.input_stmts + stencil.output_stmts),
+                    default=1)
+      if n_banks > 1:
+        devices = devices[:n_banks]
       mesh = Mesh(devices, ('x',))
     axes = tuple(mesh.axis_names)
     if not 1 <= len(axes) <= 2:

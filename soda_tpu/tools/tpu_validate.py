@@ -49,6 +49,7 @@ KERNEL_THRESHOLDS = {'contrast': 1e-3}
 def check(name, variants=()):
   from soda_tpu import corpus
   from soda_tpu.backend import reference
+  from soda_tpu.backend.grouped import GroupedPallasExecutor
   from soda_tpu.backend.pallas_kernel import PallasExecutor
   overrides = dict(variants)
   if name in TILE:
@@ -58,7 +59,10 @@ def check(name, variants=()):
   inputs = reference.make_test_inputs(stencil, shape)
   params = reference.make_test_params(stencil)
   want = reference.run(stencil, inputs, params)
-  ex = PallasExecutor(stencil, shape)
+  if stencil.cluster in ('coarse', 'fine'):
+    ex = GroupedPallasExecutor(stencil, shape)
+  else:
+    ex = PallasExecutor(stencil, shape)
   got = ex(inputs, params)
   worst = 0.0
   bad_total = 0
@@ -95,6 +99,11 @@ VARIANTS = (
      {'optimizations': {'computation-reuse': 'yes'}}),
     ('jacobi2d+iterate4', 'jacobi2d', {'iterate': 4}),
     ('blur+preserve', 'blur', {'border': 'preserve'}),
+    # cluster granularity on hardware (the reference re-validates all
+    # granularities, tests/test-cluster.sh:5-66): per-stage kernels
+    # with HBM handoff
+    ('blur+coarse', 'blur', {'cluster': 'coarse'}),
+    ('sobel2d+coarse', 'sobel2d', {'cluster': 'coarse'}),
 )
 
 

@@ -63,6 +63,43 @@ class TestCommSchedules:
     assert self.Schedules(rattrs, (0, 0, 1, 0, 0)).best.num_ops == 3
 
 
+class TestCommSchedulesWithoutCaching(TestCommSchedules):
+  """Ablation: the search result is invariant to the memo table
+  (the reference runs the same matrix per toggle,
+  test_computation_reuse.py:211-240)."""
+
+  @pytest.fixture(autouse=True)
+  def _toggle(self):
+    cr.CommSchedules.set_optimizations(('no-caching',))
+    yield
+    cr.CommSchedules.set_optimizations(('caching',))
+
+
+class TestCommSchedulesWithoutDedup(TestCommSchedules):
+  """Ablation: signature dedup prunes work, not results."""
+
+  @pytest.fixture(autouse=True)
+  def _toggle(self):
+    cr.CommSchedules.set_optimizations(('no-dedup',))
+    yield
+    cr.CommSchedules.set_optimizations(('dedup',))
+
+
+def test_set_optimizations_rejects_unknown():
+  with pytest.raises(Exception, match='unknown optimization'):
+    cr.CommSchedules.set_optimizations(('no-such-toggle',))
+
+
+def test_print_stats_reports_cache_traffic():
+  schedules = cr.CommSchedules((0, 1, 2, 10, 11, 12), None)
+  _ = schedules.best
+  lines = []
+  schedules.print_stats(lambda fmt, *a: lines.append(fmt % a))
+  assert len(lines) == 1 and 'hit' in lines[0]
+  assert schedules.stat['cache_hit'] > 0
+  assert schedules.stat['schedules'] > 0
+
+
 class TestGreedySchedules:
   Schedules = cr.GreedySchedules
 

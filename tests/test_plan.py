@@ -80,3 +80,47 @@ def test_materialized_margins_vs_window_margins():
       else:
         assert all(m >= w for m, w in zip(mlo, wlo)), (name, tensor.name)
         assert all(m >= w for m, w in zip(mhi, whi)), (name, tensor.name)
+
+
+class TestVmemEstimate:
+  """Pin estimate_vmem's measured fold-temporary heuristic.
+
+  The 2 / 3 / taps+2 factors were calibrated against real Mosaic
+  allocation behavior (PARITY.md "Known gaps"); a Mosaic update that
+  shifts them must trip these pins and force re-measurement, not
+  silently mis-size blocks (VERDICT r2 weak #5).
+  """
+
+  def _parts(self, name, tile, shape, block, mode):
+    from soda_tpu.backend.pallas_kernel import estimate_vmem
+    plan = plan_mod.make_plan(
+        corpus.build(name, tile_size=tile), 'full')
+    return estimate_vmem(plan, shape, block, mode)
+
+  def test_value_mode_cheapest_then_rotate_then_slice(self):
+    # erosion: 19-tap folds. value < rotate(narrow) < slice(wide)
+    value = self._parts('erosion', (512, 0), (4096, 512), 64, 'value')
+    wide = self._parts('erosion', (512, 0), (4096, 512), 64, 'vmem')
+    narrow = self._parts('erosion', (256, 0), (4096, 256), 64, 'vmem')
+    assert value < wide
+    assert narrow < wide  # same mode, narrower lanes AND factor 3
+    # slice-mode erosion keeps ~all 19 tap loads live: factor 19+2
+    # vs value mode's 2 on the same shape
+    assert (wide - value) > 8 * 512 * 64 * 4  # >= several slabs apart
+
+  def test_monotonic_in_block_rows(self):
+    sizes = [self._parts('blur', (2048, 0), (8192, 2048), b, 'value')
+             for b in (8, 64, 512)]
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+
+  def test_chosen_block_fits_budget_and_next_does_not(self):
+    from soda_tpu.backend.pallas_kernel import (_VMEM_BUDGET,
+                                                choose_block_rows,
+                                                estimate_vmem)
+    plan = plan_mod.make_plan(corpus.build('blur', tile_size=(2048, 0)),
+                              'full')
+    shape = (8192, 2048)
+    b = choose_block_rows(plan, shape, stage_mode='value')
+    assert estimate_vmem(plan, shape, b, 'value') <= _VMEM_BUDGET
+    if b < 1024:
+      assert estimate_vmem(plan, shape, 2 * b, 'value') > _VMEM_BUDGET

@@ -142,3 +142,31 @@ def test_chained_rejects_unchainable():
   ex = ShardedExecutor(stencil, (64, 32))
   with _pytest.raises(utils.InputError):
     soda_tpu.chained(ex, 2)
+
+
+def test_dram_banks_pick_default_mesh_width():
+  """DSL `dram` banks map to the default shard count (SURVEY 2.11:
+  bank-cyclic partition -> per-device tiles)."""
+  from soda_tpu.api import build_stencil
+  source = '\n'.join([
+      'kernel: banked',
+      'burst width: 64',
+      'unroll factor: 1',
+      'iterate: 1',
+      'border: ignore',
+      'cluster: none',
+      'input dram 0.1.2.3 uint16: x(64, *)',
+      'output dram 0.1.2.3 uint16: y(0, 0) = '
+      '(x(-1, 0) + x(0, 0) + x(1, 0)) / 3',
+  ])
+  stencil = build_stencil(source)
+  ex = ShardedExecutor(stencil, (64, 64))
+  assert ex.mesh.devices.size == 4  # 4 declared banks -> 4 shards
+  shape = (64, 64)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape, 'y')
+  assert np.array_equal(np.asarray(got['y'])[region], want['y'][region])
+  # single-bank (default) stencils keep using every device
+  assert ShardedExecutor(corpus.build('blur'), (80, 64)).mesh.devices.size == 8
