@@ -19,6 +19,19 @@ border region — identical semantics to the single-chip executors.
 Extents that do not divide the mesh are padded to a shard multiple and
 cropped back; ``border: preserve`` is applied inside the shard_map with
 the TRUE global boundary derived from each shard's mesh position.
+
+Multi-slice (DCN) layout: pass ``dim_axes=[('slice', 'x')]`` over a
+``Mesh(devices.reshape(S, C), ('slice', 'x'))`` to shard the streaming
+axis over S slices of C chips. The halo ppermute runs over the
+flattened ('slice', 'x') ring, so of its S*C - 1 neighbor pairs only
+the S - 1 slice-edge pairs cross DCN — per-step DCN traffic is
+halo_bytes x (S - 1) x 2 directions, amortized over C chips of compute
+per slice. Latency model: a step is compute(local) +
+max(ICI halo, DCN halo); with DCN ~25 GB/s per host and halo slabs of
+h rows x row_bytes, slices stop paying extra once
+C x compute_per_chip > halo_bytes / 25 GB/s — the framework keeps the
+code path identical and leaves routing to XLA's topology-aware
+collectives (SURVEY 5.8).
 """
 
 from __future__ import annotations
@@ -32,21 +45,57 @@ from soda_tpu.backend import semantics
 from soda_tpu.backend.plan import make_plan
 
 
+def _axis_groups(mesh, dim_axes, utils_mod):
+  """Normalize the array-axis -> mesh-axes mapping.
+
+  Default: mesh axis k shards array axis k. An entry may instead be a
+  TUPLE of mesh axis names sharding one array axis hierarchically,
+  outer-to-inner — the multi-slice layout: ``dim_axes=[('slice', 'x')]``
+  shards the streaming axis over slices x chips-per-slice, where the
+  outer 'slice' hop crosses the DCN boundary (SURVEY 5.8: halo
+  exchange over ICI, DCN only across slices).
+  """
+  if dim_axes is None:
+    return tuple((name,) for name in mesh.axis_names)
+  groups = []
+  seen = set()
+  for entry in dim_axes:
+    group = (entry,) if isinstance(entry, str) else tuple(entry)
+    for name in group:
+      if name not in mesh.shape:
+        raise utils_mod.InputError('unknown mesh axis %r' % (name,))
+      if name in seen:
+        raise utils_mod.InputError('mesh axis %r used twice' % (name,))
+      seen.add(name)
+    groups.append(group)
+  return tuple(groups)
+
+
 class ShardedExecutor:
   """Run a stencil over a device mesh.
 
   Args:
     stencil: a core.Stencil.
     global_shape: full grid shape (array-axis order).
-    mesh: a jax.sharding.Mesh with 1 or 2 axes; mesh axis k shards
-      array axis k. Default: all devices on one axis ('x').
+    mesh: a jax.sharding.Mesh; by default mesh axis k shards array
+      axis k (1 or 2 sharded array axes). Default mesh: all devices
+      on one axis ('x').
+    dim_axes: optional explicit array-axis -> mesh-axes mapping; each
+      entry is a mesh axis name or a TUPLE of names sharding that
+      array axis hierarchically (see _axis_groups — the multi-slice
+      DCN layout is ``Mesh(devs.reshape(S, C), ('slice', 'x'))`` with
+      ``dim_axes=[('slice', 'x')]``: neighbor halo pairs inside a
+      slice ride ICI; the one edge pair per slice boundary rides DCN,
+      so per-step DCN traffic is halo_bytes x (S-1), amortized over C
+      chips of compute per slice).
     inner: 'xla' (shifted-slice stages, default) or 'pallas' (each
       shard runs the fused Pallas kernel).
   """
 
   def __init__(self, stencil, global_shape: Tuple[int, ...],
                mesh=None, inner: str = 'xla',
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               dim_axes=None):
     import jax
     from jax import lax
     import jax.numpy as jnp
@@ -70,30 +119,33 @@ class ShardedExecutor:
       if n_banks > 1:
         devices = devices[:n_banks]
       mesh = Mesh(devices, ('x',))
-    axes = tuple(mesh.axis_names)
+    axes = _axis_groups(mesh, dim_axes, utils)
     if not 1 <= len(axes) <= 2:
-      raise utils.InputError('ShardedExecutor expects a 1-D or 2-D mesh')
+      raise utils.InputError(
+          'ShardedExecutor shards 1 or 2 array axes')
     if len(axes) > dim:
       raise utils.InputError(
-          '%d-D mesh needs a grid with at least as many dimensions' %
+          '%d sharded axes need a grid with at least as many dimensions' %
           len(axes))
     self.mesh = mesh
+    self._axes = axes
 
     # per sharded array axis: mesh extent, local extent, halo widths.
     # Indivisible extents are padded up to a shard multiple (the analog
     # of the reference host's aligned tile sizes, host.py:641-701) and
     # outputs cropped back; padding lands beyond the original grid so
-    # valid cells never read it.
-    mesh_shape = dict(zip(axes, mesh.devices.shape))
+    # valid cells never read it. A multi-name group's extent is the
+    # product of its mesh axes (flattened ring, outer axis major).
+    mesh_shape = dict(mesh.shape)
     padded = list(self.shape)
     halos = []
-    for a, axis_name in enumerate(axes):
-      n_dev = mesh_shape[axis_name]
+    for a, group in enumerate(axes):
+      n_dev = int(np.prod([mesh_shape[name] for name in group]))
       padded[a] += (-self.shape[a]) % n_dev
     self.padded_shape = tuple(padded)
     local = list(self.padded_shape)
-    for a, axis_name in enumerate(axes):
-      n_dev = mesh_shape[axis_name]
+    for a, group in enumerate(axes):
+      n_dev = int(np.prod([mesh_shape[name] for name in group]))
       local[a] = self.padded_shape[a] // n_dev
       d = dim - 1 - a
       lo, hi = self.plan.halo_lo[d], self.plan.halo_hi[d]
@@ -101,7 +153,7 @@ class ShardedExecutor:
         raise utils.InputError(
             'halo (%d, %d) exceeds local extent %d on axis %d' %
             (lo, hi, local[a], a))
-      halos.append((lo, hi, n_dev, axis_name))
+      halos.append((lo, hi, n_dev, group))
 
     ext_shape = tuple(
         local[a] + (halos[a][0] + halos[a][1] if a < len(axes) else 0)
@@ -137,7 +189,10 @@ class ShardedExecutor:
     def exchange(array, axis_idx):
       """Extend ``array`` along axis ``axis_idx`` with neighbor halos
       (width = the plan-wide overall halo, identical for all inputs)."""
-      lo, hi, n_dev, axis_name = halos[axis_idx]
+      lo, hi, n_dev, group = halos[axis_idx]
+      # neighbor pairs over the group's flattened ring; for a
+      # multi-slice group the pairs that straddle a slice boundary are
+      # exactly the ones XLA routes over DCN
       fwd = [(i, i + 1) for i in range(n_dev - 1)]
       bwd = [(i + 1, i) for i in range(n_dev - 1)]
       parts = []
@@ -145,11 +200,11 @@ class ShardedExecutor:
       sl_hi = [slice(None)] * array.ndim
       if lo:
         sl_lo[axis_idx] = slice(-lo, None)
-        parts.append(lax.ppermute(array[tuple(sl_lo)], axis_name, fwd))
+        parts.append(lax.ppermute(array[tuple(sl_lo)], group, fwd))
       parts.append(array)
       if hi:
         sl_hi[axis_idx] = slice(0, hi)
-        parts.append(lax.ppermute(array[tuple(sl_hi)], axis_name, bwd))
+        parts.append(lax.ppermute(array[tuple(sl_hi)], group, bwd))
       if len(parts) == 1:
         return array
       return jnp.concatenate(parts, axis=axis_idx)
@@ -209,7 +264,7 @@ class ShardedExecutor:
         results.append(out)
       return tuple(results)
 
-    shard_spec = P(*axes)
+    shard_spec = P(*axes)  # each entry a mesh-axis group
     in_specs = tuple([shard_spec] * len(input_names) +
                      [P()] * len(param_names))
     out_specs = tuple([shard_spec] * len(output_names))
@@ -230,7 +285,7 @@ class ShardedExecutor:
     from jax.sharding import NamedSharding, PartitionSpec as P
     jnp = self._jnp
     stencil = self.stencil
-    axes = tuple(self.mesh.axis_names)
+    axes = self._axes
     pads = tuple(
         (0, p - r) for p, r in zip(self.padded_shape, self.shape))
     needs_pad = self.padded_shape != self.shape

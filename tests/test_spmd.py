@@ -170,3 +170,51 @@ def test_dram_banks_pick_default_mesh_width():
   assert np.array_equal(np.asarray(got['y'])[region], want['y'][region])
   # single-bank (default) stencils keep using every device
   assert ShardedExecutor(corpus.build('blur'), (80, 64)).mesh.devices.size == 8
+
+
+def test_multislice_dim_axes_flattened_ring():
+  """Multi-slice layout: one array axis sharded over ('slice', 'x');
+  the halo ring flattens across the slice boundary (SURVEY 5.8: ICI
+  within a slice, DCN across)."""
+  from jax.sharding import Mesh
+  stencil = corpus.build('jacobi2d')
+  shape = (64, 32)
+  devices = np.array(jax.devices()).reshape(2, 4)
+  mesh = Mesh(devices, ('slice', 'x'))
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = ShardedExecutor(stencil, shape, mesh=mesh,
+                       dim_axes=[('slice', 'x')])
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['t0'])[region],
+                         want['t0'][region], True, 'multislice')
+
+
+def test_multislice_2d_decomposition():
+  # 3-level: streaming axis over ('slice', 'x') and lane axis over 'y'
+  from jax.sharding import Mesh
+  stencil = corpus.build('blur')
+  shape = (64, 64)
+  devices = np.array(jax.devices()).reshape(2, 2, 2)
+  mesh = Mesh(devices, ('slice', 'x', 'y'))
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = ShardedExecutor(stencil, shape, mesh=mesh,
+                       dim_axes=[('slice', 'x'), 'y'])
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape, 'blur_y')
+  assert np.array_equal(np.asarray(got['blur_y'])[region],
+                        want['blur_y'][region])
+
+
+def test_dim_axes_validation():
+  from jax.sharding import Mesh
+  stencil = corpus.build('jacobi2d')
+  devices = np.array(jax.devices()).reshape(2, 4)
+  mesh = Mesh(devices, ('slice', 'x'))
+  with pytest.raises(Exception, match='unknown mesh axis'):
+    ShardedExecutor(stencil, (64, 32), mesh=mesh, dim_axes=['nope'])
+  with pytest.raises(Exception, match='used twice'):
+    ShardedExecutor(stencil, (64, 32), mesh=mesh,
+                    dim_axes=[('slice', 'slice')])
