@@ -64,6 +64,9 @@ def legal_probes():
        lambda x, y: jnp.where(x[...] < y[...], x[...], y[...]),
        np.minimum(a, b)),
       ('i16 sub', lambda x, y: x[...] - y[...], (a - b)),
+      ('i16 synth-sub a+(b^-1)+1',
+       lambda x, y: x[...] + (y[...] ^ jnp.int16(-1)) + jnp.int16(1),
+       (a - b)),
       ('i16 and/or/xor',
        lambda x, y: (x[...] & y[...]) | (x[...] ^ y[...]), None),
       ('i16 shl/shr const',
@@ -73,6 +76,9 @@ def legal_probes():
        lambda x, y: y[...] + ((x[...] - y[...]) &
                               (-(x[...] < y[...]).astype(jnp.int16))),
        np.minimum(a, b)),
+      ('i16 compare only (to bool->i16 add)',
+       lambda x, y: (x[...] < y[...]).astype(jnp.int16) + jnp.int16(0),
+       (a < b).astype(np.int16)),
   ]
   for tag, body, want in cases:
     probe(tag, functools.partial(run, body, a, b), want)
@@ -164,6 +170,16 @@ def chain_time(kind, dtype, shape=(512, 2048)):
   def step(acc):
     shifted = jnp.concatenate([acc[:, 1:], acc[:, :1]], axis=1) \
         if 'lane' in kind else jnp.concatenate([acc[1:], acc[:1]], axis=0)
+    if 'swar' in kind:
+      # packed i16x2-in-i32: funnel-shift one LOGICAL element across
+      # halves, then per-half signed min via shift-to-top compares.
+      # Measures the per-element cost of the SWAR route for erosion.
+      nxt = shifted
+      elem = ((acc >> 16) & 0xFFFF) | (nxt << 16)
+      m = jnp.int32(-65536)  # 0xFFFF0000
+      lo = jnp.where((elem << 16) < (acc << 16), elem, acc) & 0xFFFF
+      hi = jnp.where((elem & m) < (acc & m), elem, acc) & m
+      return lo | hi
     if 'min' in kind:
       return jnp.where(shifted < acc, shifted, acc)
     if 'nmin' in kind:
@@ -187,10 +203,10 @@ def chain_time(kind, dtype, shape=(512, 2048)):
   x0 = jnp.zeros(shape, dtype)
   n_small, n_big = 32, 512
   dt = slope(make(n_small), make(n_big), n_small, n_big, x0)
-  cells = float(np.prod(shape))
+  elems = float(np.prod(shape)) * (2 if 'swar' in kind else 1)
   log('%-28s %-7s %s: %6.2f ps/elem-op (%.3g elem-ops/s)' %
-      (kind, dtype, shape, dt / cells * 1e12, cells / dt))
-  return dt / cells
+      (kind, dtype, shape, dt / elems * 1e12, elems / dt))
+  return dt / elems
 
 
 def main():
@@ -207,6 +223,14 @@ def main():
         except Exception as e:  # noqa: BLE001
           log('%-28s %-7s FAILED: %s' %
               (kind, dtype, str(e).splitlines()[0][:90]))
+    # nmin = native jnp.minimum baseline; swar at half lanes/elem
+    for kind, dtype, shape in (('lane_nmin', 'int32', (512, 2048)),
+                               ('lane_swar_pk', 'int32', (512, 1024))):
+      try:
+        chain_time(kind, dtype, shape)
+      except Exception as e:  # noqa: BLE001
+        log('%-28s %-7s FAILED: %s' %
+            (kind, dtype, str(e).splitlines()[0][:90]))
 
 
 if __name__ == '__main__':

@@ -218,7 +218,8 @@ class PallasExecutor:
                mid_tile: Optional[int] = None,
                compute_chunk: Optional[int] = None,
                apply_preserve_border: bool = True,
-               transpose_lanes: str = 'auto'):
+               transpose_lanes: str = 'auto',
+               narrow: str = 'auto'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -229,6 +230,12 @@ class PallasExecutor:
     if transpose_lanes not in ('auto', 'on', 'off'):
       raise ValueError("transpose_lanes must be auto|on|off")
     self.transpose_lanes = transpose_lanes
+    if narrow not in ('auto', 'off'):
+      raise ValueError("narrow must be auto|off")
+    # narrow: evaluate eligible integer stages at NATIVE 16-bit width
+    # (2x VPU lane density; exactness + Mosaic legality gated by
+    # optimization.ranges.narrow16_stages). 'off' for A/B measurement.
+    self.narrow = narrow
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
@@ -572,6 +579,15 @@ class PallasExecutor:
           continue
         if self.transpose_lanes == 'on' or crossings <= 2:
           transposed |= members
+    # Narrow 16-bit stage evaluation (value mode): stages the
+    # wrap-sinking/legality analysis admits run at native i16/u16 —
+    # every slab temporary, shifted load, and ALU op covers 2x the
+    # elements per vreg. Transposed-region stages are exempt (the
+    # region machinery is measured/tuned at 32-bit).
+    narrow16: set = set()
+    if value_mode and self.narrow != 'off':
+      from soda_tpu.optimization import ranges as ranges_mod
+      narrow16 = ranges_mod.narrow16_stages(stencil) - transposed
     # chunked mode stores childless outputs straight into the output
     # block, so they need no slab slot
     direct_outs = set()
@@ -773,6 +789,7 @@ class PallasExecutor:
       stage_vals: Dict[str, object] = {}
       stage_vals_T: Dict[str, object] = {}
       input_vals: Dict[str, object] = {}
+      input_vals_nw: Dict[str, object] = {}
 
       def parent_val(name):
         if name in stage_vals:
@@ -788,6 +805,18 @@ class PallasExecutor:
             v = v.astype(semantics.promote(t).np_dtype)
           input_vals[name] = v
         return input_vals[name], slab_margins[name]
+
+      def parent_val_nw(name):
+        """Parent value for a NARROW consumer: 16-bit inputs stay at
+        storage width (no promote — the narrow evaluator computes in
+        i16 directly); stage values pass through in whatever width
+        they carry (the evaluator truncates, exact mod 2^16)."""
+        if name in stage_vals or name in stage_vals_T:
+          return parent_val(name)
+        if name not in input_vals_nw:
+          k = stencil.input_names.index(name)
+          input_vals_nw[name] = slabs[k][slot if not single else 0]
+        return input_vals_nw[name], slab_margins[name]
 
       def parent_val_T(name):
         """Parent value in transposed (lane-major) layout."""
@@ -888,10 +917,12 @@ class PallasExecutor:
                                _region[a].stop + delta - p_m[a][0]))
             return src[tuple(idx)]
         elif value_mode:
-          def load(ref: ir.Ref, _st=st_idx, _region=region):
+          def load(ref: ir.Ref, _st=st_idx, _region=region,
+                   _pv=(parent_val_nw if stage.name in narrow16
+                        else parent_val)):
             if ref.name in stencil.param_names:
               return params[ref.name][tuple(ref.idx)]
-            src, p_m = parent_val(ref.name)
+            src, p_m = _pv(ref.name)
             idx = []
             for a in range(n_margin_axes):
               d = dim - 1 - a
@@ -935,13 +966,26 @@ class PallasExecutor:
           return params[name][idx]
 
         if value_mode:
+          is_narrow = stage.name in narrow16
           evaluator = semantics.Evaluator(jnp, load, param=param,
                                           fast_int_div=True,
-                                          fast_rsqrt=True)
+                                          fast_rsqrt=True,
+                                          narrow=is_narrow)
           value, _ = evaluator.eval_stmt(stage.tensor)
-          value = semantics.wrap_promoted(
-              jnp, value, stage.dtype,
-              wrap_free.get(stage.name, False))
+          if is_narrow:
+            # value is already wrapped mod 2^16 by construction; carry
+            # it in the declared type's signedness so non-ring
+            # consumers of a 16-bit stage extend it correctly. For
+            # >16-bit declared stages any 16-bit form works (consumers
+            # were proven to need the value mod 2^16 only).
+            rep = stage.dtype.np_dtype \
+                if stage.dtype.width_in_bits == 16 else np.dtype('int16')
+            if getattr(value, 'dtype', None) != rep:
+              value = jnp.asarray(value).astype(rep)
+          else:
+            value = semantics.wrap_promoted(
+                jnp, value, stage.dtype,
+                wrap_free.get(stage.name, False))
           if stage.name in transposed:
             stage_vals_T[stage.name] = value
           else:

@@ -216,11 +216,19 @@ class Evaluator:
                env: Optional[Dict[str, Tuple[Any, Optional[Type]]]] = None,
                param: Optional[Callable[[str, Tuple[int, ...]], Any]] = None,
                fast_int_div: bool = False,
-               fast_rsqrt: bool = False):
+               fast_rsqrt: bool = False,
+               narrow: bool = False):
     self.xp = xp
     self.load = load
     self.env = dict(env or {})
     self.param = param
+    # narrow: evaluate integer arithmetic at 16-bit width instead of
+    # the C-promoted 32 (2x VPU lane density). ONLY sound for
+    # expressions the narrow16_stages analysis admitted (+/&/|/^ over
+    # int loads and literals, result needed mod 2^16 at most —
+    # optimization/ranges.py): truncating every operand to 16 bits
+    # preserves the result's low 16 bits under those ops.
+    self.narrow = narrow
     # strength-reduce integer division to a float32 divide where the
     # range analysis proved it bit-exact (soda_tpu.optimization.ranges);
     # the oracle keeps pure C division so tests differentially verify
@@ -277,6 +285,14 @@ class Evaluator:
       return self.env[node.name]
     if isinstance(node, ir.Cast):
       value, _ = self.eval(node.expr)
+      if self.narrow and node.dtype is not None and \
+          not node.dtype.is_float and node.dtype.width_in_bits >= 16:
+        # narrow evaluation: an int wrap of width >= 16 is the
+        # identity on the 16-bit representation (mod-2^16 congruence
+        # passes through); a 16-bit target just fixes the signedness
+        if node.dtype.width_in_bits == 16:
+          value = _as(xp, value, node.dtype)
+        return value, node.dtype
       return wrap(xp, value, node.dtype), node.dtype
     if isinstance(node, ir.Unary):
       value, dtype = self.eval(node.operand)
@@ -311,8 +327,16 @@ class Evaluator:
     raise utils.InternalError('cannot evaluate %r' % node)
 
   def _coerce_pair(self, av, at, bv, bt):
-    """Bring two operands to their common C arithmetic type."""
+    """Bring two operands to their common C arithmetic type (or the
+    16-bit narrow type when this evaluator runs narrow)."""
     xp = self.xp
+    if self.narrow and (at is None or not at.is_float) and \
+        (bt is None or not bt.is_float):
+      # 16-bit rank rules: unsigned wins (C at equal rank); sign
+      # extension differences vanish mod 2^16
+      unsigned = any(t is not None and not t.is_signed for t in (at, bt))
+      out = Type('uint16' if unsigned else 'int16')
+      return _as(xp, av, out), _as(xp, bv, out), out
     out = binary_type(at, bt)
     return _as(xp, av, out), _as(xp, bv, out), out
 

@@ -242,6 +242,7 @@ def _sink_wraps(stencil, wrap_free: Dict[str, bool]) -> Dict[str, bool]:
   need: Dict[str, int] = {}
   effective: Dict[str, int] = {}
   sunk: Dict[str, bool] = {}
+  stencil._wrap_need = need  # consumed by the narrow-eval analysis
   for tensor in reversed(list(stencil.chronological_tensors)):
     if tensor.is_input():
       continue
@@ -277,6 +278,73 @@ def _sink_wraps(stencil, wrap_free: Dict[str, bool]) -> Dict[str, bool]:
     for parent, req in uses.items():
       need[parent] = max(need.get(parent, 0), req)
   return sunk
+
+
+# ops Mosaic legalizes on native 16-bit vectors (probed on v5e,
+# experiments/exp12-13): add and the bitwise chains — NOT sub, shifts,
+# mul, min/max, or any comparison
+_NARROW_CHAIN_OK = (ir.AddSub, ir.BinaryAnd, ir.BinaryOr, ir.Xor)
+
+
+def _narrow_expr_ok(node: ir.Node, int_tensors: set) -> bool:
+  """True when ``node`` evaluates correctly mod 2^16 using only
+  Mosaic-legal i16 vector ops: {+, &, |, ^} over integer tensor loads
+  and literals. (+ carries propagate upward only and the bitwise chains
+  are bit-local, so truncating every operand to 16 bits preserves the
+  low 16 bits of the result — the Z/2^32 -> Z/2^16 homomorphism.)"""
+  if isinstance(node, ir.Num):
+    return isinstance(node.value, int)
+  if isinstance(node, ir.Ref):
+    return node.name in int_tensors
+  if isinstance(node, ir.Cast):
+    # an int wrap of width >= 16 preserves congruence mod 2^16 (the
+    # narrow evaluator keeps the 16-bit representation through it)
+    return (node.dtype is not None and not node.dtype.is_float and
+            node.dtype.width_in_bits >= 16 and
+            _narrow_expr_ok(node.expr, int_tensors))
+  if isinstance(node, _NARROW_CHAIN_OK) or (
+      isinstance(node, (ir.Expr, ir.LogicAnd)) and len(node.operand) == 1):
+    if isinstance(node, ir.AddSub) and any(
+        op != '+' for op in node.operator):
+      return False  # Mosaic i16 sub crashes (exp13)
+    return all(_narrow_expr_ok(o, int_tensors) for o in node.operand)
+  return False
+
+
+def narrow16_stages(stencil) -> set:
+  """Stages evaluable at NATIVE 16-bit integer width (2x VPU lane
+  density) with bit-exact results.
+
+  A stage qualifies when (a) its expression is mod-2^16-exact and
+  i16-legal on Mosaic (see _narrow_expr_ok), it has no lets, and (b)
+  its value is only ever needed mod 2^16: either its declared width is
+  16 (the store wrap discards the rest anyway), or the wrap-sinking
+  analysis proved every consumer path tolerates congruence mod 2^16
+  (``_wrap_need`` — this is what lets 32-bit-declared CR partial sums
+  run narrow when they flow into a 16-bit-wrapped output).
+  """
+  annotate(stencil)
+  need = getattr(stencil, '_wrap_need', {})
+  int_tensors = {
+      name for name, t in stencil.symbol_table.items()
+      if t is not None and not t.is_float and t.width_in_bits <= 32
+      and name not in stencil.param_names
+  }
+  out = set()
+  for tensor in stencil.chronological_tensors:
+    if tensor.is_input():
+      continue
+    t = tensor.dtype
+    if t is None or t.is_float:
+      continue
+    narrow_enough = (t.width_in_bits == 16 or
+                     (t.width_in_bits > 16 and
+                      need.get(tensor.name, _EXACT) <= 16))
+    if not narrow_enough or tensor.lets:
+      continue
+    if _narrow_expr_ok(tensor.expr, int_tensors):
+      out.add(tensor.name)
+  return out
 
 
 def annotate(stencil) -> Dict[str, Range]:
