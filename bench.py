@@ -96,6 +96,45 @@ def over_budget() -> bool:
   return time.monotonic() > _DEADLINE
 
 
+# Persistent XLA-baseline table (committed to the repo): the XLA
+# whole-grid comparison point is config-independent, so it is measured
+# once per (kernel, shape, device kind) and reused — speedup_vs_xla
+# stays populated even when the wall-clock budget skips live
+# comparisons (round-2's run shipped nulls for exactly that reason).
+_XLA_BASELINES = __import__('os').path.join(
+    __import__('os').path.dirname(__import__('os').path.abspath(__file__)),
+    'bench_xla_baselines.json')
+
+
+def _xla_key(name, shape, device_kind) -> str:
+  return '%s|%s|%s' % (name, 'x'.join(map(str, shape)), device_kind)
+
+
+def _load_xla_baselines() -> dict:
+  import json
+  import os
+  if not os.path.exists(_XLA_BASELINES):
+    return {}
+  try:
+    with open(_XLA_BASELINES) as f:
+      return json.load(f)
+  except (OSError, ValueError):
+    return {}
+
+
+def _store_xla_baseline(key, xla_ms) -> None:
+  import datetime
+  import json
+  table = _load_xla_baselines()
+  table[key] = {'xla_ms': round(xla_ms, 4),
+                'measured': datetime.date.today().isoformat()}
+  try:
+    with open(_XLA_BASELINES, 'w') as f:
+      json.dump(table, f, indent=1, sort_keys=True)
+  except OSError:
+    pass
+
+
 # timing helpers shared with soda_tpu.tools.autotune
 from soda_tpu.profiling import (  # noqa: E402
     chain_input_index, slope_time, stream_bytes)
@@ -191,40 +230,49 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   n_big = N_SMALL + max(20, int(0.04 / est_iter))
 
   # comparison point: the XLA whole-grid path (the reference-style
-  # implementation — each stage a full-array op, no manual blocking)
+  # implementation — each stage a full-array op, no manual blocking).
+  # Measured once per (kernel, shape, device) and persisted; later
+  # runs read the baseline table so speedups never go null.
   xla_dt = None
-  try:
-    if not compare_xla or over_budget():
-      raise TimeoutError('bench budget: skipping XLA comparison')
-    from soda_tpu.backend import xla as xla_backend
-    base_ins = {
-        n2: jnp.asarray(inputs[n2]) for n2 in stencil.input_names
-    }
+  xkey = _xla_key(name, shape, getattr(jax.devices()[0], 'device_kind',
+                                       '?'))
+  cached_xla = _load_xla_baselines().get(xkey)
+  if cached_xla and not compare_xla:
+    xla_dt = cached_xla['xla_ms'] / 1e3
+  elif compare_xla or not over_budget():
+    try:
+      from soda_tpu.backend import xla as xla_backend
+      base_ins = {
+          n2: jnp.asarray(inputs[n2]) for n2 in stencil.input_names
+      }
 
-    def xla_once(x):
-      ins = dict(base_ins)
-      ins[stencil.input_names[chain_idx]] = x
-      return xla_backend.forward(stencil, ins, {}, shape)[out0]
+      def xla_once(x):
+        ins = dict(base_ins)
+        ins[stencil.input_names[chain_idx]] = x
+        return xla_backend.forward(stencil, ins, {}, shape)[out0]
 
-    def xla_make(n):
-      return jax.jit(
-          lambda a0: lax.fori_loop(0, n, lambda i, a: xla_once(a), a0))
+      def xla_make(n):
+        return jax.jit(
+            lambda a0: lax.fori_loop(0, n, lambda i, a: xla_once(a), a0))
 
-    g_small, g_big = xla_make(N_SMALL), xla_make(n_big)
+      g_small, g_big = xla_make(N_SMALL), xla_make(n_big)
 
-    def timed_x(f):
-      t0 = time.perf_counter()
-      out = f(x0)
-      _ = jnp.sum(out.reshape(-1)[:1]).item()
-      return time.perf_counter() - t0
+      def timed_x(f):
+        t0 = time.perf_counter()
+        out = f(x0)
+        _ = jnp.sum(out.reshape(-1)[:1]).item()
+        return time.perf_counter() - t0
 
-    timed_x(g_small)
-    timed_x(g_big)
-    xs = min(timed_x(g_small) for _ in range(2))
-    xb = min(timed_x(g_big) for _ in range(2))
-    xla_dt = max((xb - xs) / (n_big - N_SMALL), 1e-9)
-  except Exception as e:  # pragma: no cover - informational only
-    log('xla comparison failed for %s: %r' % (name, e))
+      timed_x(g_small)
+      timed_x(g_big)
+      xs = min(timed_x(g_small) for _ in range(2))
+      xb = min(timed_x(g_big) for _ in range(2))
+      xla_dt = max((xb - xs) / (n_big - N_SMALL), 1e-9)
+      _store_xla_baseline(xkey, xla_dt * 1e3)
+    except Exception as e:  # pragma: no cover - informational only
+      log('xla comparison failed for %s: %r' % (name, e))
+  else:
+    log('bench budget: no cached XLA baseline for %s' % name)
 
   speedup = (xla_dt / dt) if xla_dt else None
   log('%-10s shape=%s block=%d grid=%d time=%.3fms eff=%.1fGB/s '

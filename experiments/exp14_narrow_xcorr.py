@@ -52,15 +52,15 @@ def main():
       ('cr rotate narrow=off (r2 seed)', cr,
        {'lane_shift': 'rotate', 'block_rows': 256, 'narrow': 'off'}),
       ('cr rotate narrow=auto', cr,
-       {'lane_shift': 'rotate', 'block_rows': 256, 'narrow': 'auto'}),
+       {'lane_shift': 'rotate', 'block_rows': 256, 'narrow': 'on'}),
       ('cr slice narrow=off', cr,
        {'lane_shift': 'slice', 'block_rows': 256, 'narrow': 'off'}),
       ('cr slice narrow=auto', cr,
-       {'lane_shift': 'slice', 'block_rows': 256, 'narrow': 'auto'}),
+       {'lane_shift': 'slice', 'block_rows': 256, 'narrow': 'on'}),
       ('plain slice narrow=auto', plain,
-       {'lane_shift': 'slice', 'block_rows': 256, 'narrow': 'auto'}),
+       {'lane_shift': 'slice', 'block_rows': 256, 'narrow': 'on'}),
       ('cr slice narrow=auto b512', cr,
-       {'lane_shift': 'slice', 'block_rows': 512, 'narrow': 'auto'}),
+       {'lane_shift': 'slice', 'block_rows': 512, 'narrow': 'on'}),
   ):
     try:
       frac = measure('xcorr', shape, overrides,

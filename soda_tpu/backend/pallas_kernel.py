@@ -230,11 +230,16 @@ class PallasExecutor:
     if transpose_lanes not in ('auto', 'on', 'off'):
       raise ValueError("transpose_lanes must be auto|on|off")
     self.transpose_lanes = transpose_lanes
-    if narrow not in ('auto', 'off'):
-      raise ValueError("narrow must be auto|off")
+    if narrow not in ('auto', 'on', 'off'):
+      raise ValueError("narrow must be auto|on|off")
     # narrow: evaluate eligible integer stages at NATIVE 16-bit width
-    # (2x VPU lane density; exactness + Mosaic legality gated by
-    # optimization.ranges.narrow16_stages). 'off' for A/B measurement.
+    # (exactness + Mosaic legality gated by
+    # optimization.ranges.narrow16_stages). 'auto' currently resolves
+    # to OFF: measured on v5e (exp14), current Mosaic keeps i16
+    # vectors at one value per 32-bit lane, so the 2x density never
+    # materializes and the conversion churn loses ~10% (xcorr 0.25 vs
+    # 0.29). 'on' forces it for A/B measurement; flip 'auto' when a
+    # Mosaic update packs 16-bit vregs.
     self.narrow = narrow
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
@@ -585,7 +590,7 @@ class PallasExecutor:
     # elements per vreg. Transposed-region stages are exempt (the
     # region machinery is measured/tuned at 32-bit).
     narrow16: set = set()
-    if value_mode and self.narrow != 'off':
+    if value_mode and self.narrow == 'on':
       from soda_tpu.optimization import ranges as ranges_mod
       narrow16 = ranges_mod.narrow16_stages(stencil) - transposed
     # chunked mode stores childless outputs straight into the output

@@ -98,7 +98,7 @@ def _check(source, shape=(64, 64), **build_kw):
   s = build_stencil(source, **build_kw)
   inputs = reference.make_test_inputs(s, shape)
   want = reference.run(s, inputs)
-  on = PallasExecutor(s, shape, stage_mode='value', narrow='auto')
+  on = PallasExecutor(s, shape, stage_mode='value', narrow='on')
   off = PallasExecutor(s, shape, stage_mode='value', narrow='off')
   for out in s.output_names:
     region = reference.output_valid_slices(s, shape, out)
@@ -150,7 +150,7 @@ class TestDifferential:
       shape = (96, 128)
       inputs = reference.make_test_inputs(s, shape)
       want = reference.run(s, inputs)
-      ex = PallasExecutor(s, shape, stage_mode='value', narrow='auto')
+      ex = PallasExecutor(s, shape, stage_mode='value', narrow='on')
       got = ex(inputs)
       region = reference.output_valid_slices(s, shape, 'tmp3')
       np.testing.assert_array_equal(
