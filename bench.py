@@ -246,10 +246,15 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
           n2: jnp.asarray(inputs[n2]) for n2 in stencil.input_names
       }
 
+      in_dt = x0.dtype
+
       def xla_once(x):
         ins = dict(base_ins)
         ins[stencil.input_names[chain_idx]] = x
-        return xla_backend.forward(stencil, ins, {}, shape)[out0]
+        out = xla_backend.forward(stencil, ins, {}, shape)[out0]
+        if out.dtype != in_dt:  # same-width chain (e.g. u16 -> i16)
+          out = jax.lax.bitcast_convert_type(out, in_dt)
+        return out
 
       def xla_make(n):
         return jax.jit(
