@@ -219,7 +219,8 @@ class PallasExecutor:
                compute_chunk: Optional[int] = None,
                apply_preserve_border: bool = True,
                transpose_lanes: str = 'auto',
-               narrow: str = 'auto'):
+               narrow: str = 'auto',
+               out_dma: bool = False):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -241,6 +242,13 @@ class PallasExecutor:
     # 0.29). 'on' forces it for A/B measurement; flip 'auto' when a
     # Mosaic update packs 16-bit vregs.
     self.narrow = narrow
+    # out_dma: bypass the Pallas output-block pipeline — outputs stay
+    # HBM refs and each grid step DMAs its finished block out of a
+    # double-buffered VMEM staging slab (candidate for the ~2us
+    # per-grid-step fixed cost, VERDICT r2 item 2). Stores cover FULL
+    # blocks (globally-invalid border cells receive stale staging
+    # data, which only ever lands outside the valid region).
+    self.out_dma = bool(out_dma)
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
@@ -442,6 +450,7 @@ class PallasExecutor:
         name: stencil.symbol_table[name] for name in stencil.input_names
     }
     single = self.grid * self.grid_m == 1
+    out_dma = self.out_dma and not single
     interpret = self.interpret
 
     n_blocks = self.grid
@@ -628,7 +637,12 @@ class PallasExecutor:
       scratch = refs[n_in + n_par + n_out:]
       slabs = scratch[:n_in]
       in_sems = scratch[n_in:2 * n_in]
-      slot_refs = scratch[2 * n_in:]
+      n_slots = len(slot_dtypes)
+      slot_refs = scratch[2 * n_in:2 * n_in + n_slots]
+      if out_dma:
+        out_stage = scratch[2 * n_in + n_slots:
+                            2 * n_in + n_slots + n_out]
+        out_sems = scratch[2 * n_in + n_slots + n_out:]
       stage_refs = {
           name: slot_refs[slot_of[name]]
           for name in stage_names if name in slot_of
@@ -771,6 +785,28 @@ class PallasExecutor:
           for k in range(n_in):
             in_copy(k, i, jm, slot).wait()
 
+      # manual output DMA: each step stores into a double-buffered VMEM
+      # staging slab and copies it to the HBM output ref itself,
+      # bypassing Pallas's output-block pipeline. The slot's previous
+      # copy is awaited two steps later (before overwriting); the last
+      # step drains everything.
+      slot_out = step % 2 if out_dma else 0
+
+      def out_copy(k, slot_, ii, jj):
+        dst = out_refs[k]
+        if mid_blocked:
+          dst = dst.at[pl.ds(ii * b, b), pl.ds(jj * mt, mt)]
+        else:
+          dst = dst.at[pl.ds(ii * b, b)]
+        return pltpu.make_async_copy(out_stage[k].at[slot_], dst,
+                                     out_sems[k].at[slot_])
+
+      if out_dma:
+        @pl.when(step >= 2)
+        def _():
+          for k in range(n_out):
+            out_copy(k, slot_out, i, jm).wait()
+
       def parent_ref(name):
         if name in stage_refs:
           return stage_refs[name], ()
@@ -868,7 +904,10 @@ class PallasExecutor:
           # promoted-width integer value -> storage width; exact: the
           # value is already wrapped into the storage type's range
           val = val.astype(store_dt)
-        out_refs[k][tuple(out_idx)] = val
+        if out_dma:
+          out_stage[k][(slot_out,) + tuple(out_idx)] = val
+        else:
+          out_refs[k][tuple(out_idx)] = val
 
       def class_cond(kind, p, nb):
         if kind in (None, 'all'):
@@ -1041,6 +1080,12 @@ class PallasExecutor:
         if name in transposed:
           parent_val(name)
 
+      def full_store(k, val):
+        if out_dma:
+          out_stage[k][slot_out] = val
+        else:
+          out_refs[k][:] = val
+
       for k, name in enumerate(stencil.output_names):
         if value_mode or chunk is not None:
           if name not in direct_outs:
@@ -1053,20 +1098,32 @@ class PallasExecutor:
         # output block row j = slab row base + j; base is static per
         # block class, so these are plain static slices
         if base_first == base_mid == base_tail:
-          out_refs[k][:] = src[base_mid:base_mid + b]
+          full_store(k, src[base_mid:base_mid + b])
           continue
 
         @pl.when(i == 0)
         def _(k=k, src=src):
-          out_refs[k][:] = src[base_first:base_first + b]
+          full_store(k, src[base_first:base_first + b])
 
         @pl.when(jnp.logical_and(i > 0, i < n - 1))
         def _(k=k, src=src):
-          out_refs[k][:] = src[base_mid:base_mid + b]
+          full_store(k, src[base_mid:base_mid + b])
 
         @pl.when(jnp.logical_and(i == n - 1, n > 1))
         def _(k=k, src=src):
-          out_refs[k][:] = src[base_tail:base_tail + b]
+          full_store(k, src[base_tail:base_tail + b])
+
+      if out_dma:
+        for k in range(n_out):
+          out_copy(k, slot_out, i, jm).start()
+
+        @pl.when(step == total - 1)
+        def _():
+          if total > 1:  # the previous step's copy is still in flight
+            for k in range(n_out):
+              out_copy(k, 1 - slot_out, i, jm).wait()
+          for k in range(n_out):
+            out_copy(k, slot_out, i, jm).wait()
 
     grid = ((self.grid_m, self.grid) if mid_blocked else (self.grid,))
     # inputs pinned to HBM and DMA'd manually (blocked specs cannot
@@ -1074,7 +1131,10 @@ class PallasExecutor:
     hbm = pl.ANY if interpret else pltpu.HBM
     in_specs = [pl.BlockSpec(memory_space=hbm)] * n_in
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_par
-    if mid_blocked:
+    if out_dma:
+      # outputs stay whole HBM refs; the kernel DMAs staged blocks out
+      out_specs = [pl.BlockSpec(memory_space=hbm)] * n_out
+    elif mid_blocked:
       out_specs = [
           pl.BlockSpec(out_block, lambda j_, i_: (i_, j_, 0),
                        memory_space=pltpu.VMEM)
@@ -1101,6 +1161,15 @@ class PallasExecutor:
     scratch_shapes += [
         pltpu.VMEM((s,) + rest, dt) for dt in slot_dtypes
     ]
+    if out_dma:
+      scratch_shapes += [
+          pltpu.VMEM((2,) + out_block,
+                     stencil.symbol_table[name].np_dtype)
+          for name in stencil.output_names
+      ]
+      scratch_shapes += [
+          pltpu.SemaphoreType.DMA((2,)) for _ in stencil.output_names
+      ]
 
     call = pl.pallas_call(
         kernel,

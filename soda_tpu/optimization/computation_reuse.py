@@ -100,6 +100,33 @@ class Linearizer:
       idx[d] = self.mins[d] + digit
     return tuple(idx)
 
+  def delta(self, offset: int) -> Tuple[int, ...]:
+    """Decode a RELATIVE linear offset into a signed index delta.
+
+    ``restore`` floor-decodes, which is only correct for in-box
+    absolute offsets: a difference like (dx=-8, dy=+1) encodes to
+    dy*size - 8, which restore mis-reads as (size-8, 0) whenever the
+    radix is a tile extent (no doubling headroom). Schedule lowering
+    produces exactly such out-of-box relative offsets (reused-subtree
+    instances sit anywhere), so deltas use a BALANCED decode: each
+    digit is the centered residue in [-radix/2, radix/2). Unique for
+    |component| < radix/2, which every per-dimension reach satisfies.
+    """
+    out = []
+    for d in range(self.num_dim - 1):
+      radix = self.sizes[d]
+      digit = (offset + radix // 2) % radix - radix // 2
+      out.append(digit)
+      offset = (offset - digit) // radix
+    out.append(offset)
+    return tuple(out)
+
+  def index_of(self, offset: int) -> Tuple[int, ...]:
+    """True N-D index of a schedule-tree offset (balanced decode +
+    mins). Agrees with ``restore`` on in-box absolute offsets and
+    stays correct for out-of-box ones."""
+    return tuple(d + m for d, m in zip(self.delta(offset), self.mins))
+
   def __call__(self, rattr):
     if isinstance(rattr, int):
       return self.restore(rattr)

@@ -862,7 +862,7 @@ class Expression:
     """Fully inlined IR for a schedule instance at absolute linear
     ``offset`` (no reuse vars)."""
     if not isinstance(sched, CommSchedule):
-      return assemble_attr(self.linearizer.restore(offset),
+      return assemble_attr(self.linearizer.index_of(offset),
                            self.aattr_table[sched])
     left = self.schedule_ir_node(sched.left, offset)
     right = self.schedule_ir_node(sched.right, offset + sched.distance)
@@ -881,18 +881,28 @@ class Expression:
     var_refs: Dict[CommSchedule, ir.Ref] = {}
 
     def instance(sched, offset: int) -> ir.Node:
-      """IR for an instance of ``sched`` at absolute linear offset."""
+      """IR for an instance of ``sched`` at linear ``offset`` (absolute
+      for the top-level call; subtree-relative inside var definitions —
+      index_of/delta's balanced decode is correct for both, unlike
+      restore's floor decode, which mis-reads negative components
+      under tile-sized radices)."""
       if not isinstance(sched, CommSchedule):
-        return assemble_attr(self.linearizer.restore(offset),
+        return assemble_attr(self.linearizer.index_of(offset),
                              self.aattr_table[sched])
       ref = var_refs.get(sched)
       if ref is not None:
-        # instance at linear `offset` = the var's value translated by
-        # restore(offset) - restore(0); carry-free because linearizer
-        # sizes are 2*span-1 (see Linearizer)
-        base = self.linearizer.restore(0)
-        idx = tuple(
-            r - b for r, b in zip(self.linearizer.restore(offset), base))
+        # Reuse variables store AT their least leaf's cell (write
+        # index 0, definition normalized), so a read of the instance
+        # at `offset` addresses the TRUE index of that instance's
+        # least leaf. This is frame-independent: a var created by one
+        # statement's Expression (its own Linearizer mins/anchor) is
+        # read correctly by any other statement's rewrite — the
+        # round-3 sym-contrast campaign caught the old frame-relative
+        # convention producing cross-statement reads off by the
+        # defining frame's mins.
+        leaves = [self.linearizer.index_of(offset + rel)
+                  for rel, _ in sched.attrs_with_offset(0)]
+        idx = min(leaves, key=lambda t: tuple(reversed(t)))
         return ir.Ref(name=ref.name, idx=idx, lat=None, dtype=ref.dtype)
       left = instance(sched.left, offset)
       right = instance(sched.right, offset + sched.distance)
@@ -910,8 +920,8 @@ class Expression:
         var_refs[var] = prev
         continue
       name = stencil.new_cr_var()
-      write_idx = _neg(norm_idx)
-      ref = ir.Ref(name=name, idx=write_idx, lat=None)
+      ref = ir.Ref(name=name, idx=(0,) * self.linearizer.num_dim,
+                   lat=None)
       stencil.symbol_table[name] = None  # filled by propagate_type later
       cses[norm_key] = ref
       var_refs[var] = ref

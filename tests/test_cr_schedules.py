@@ -318,3 +318,49 @@ output dram 1 uint16: out(0, 0) = min((t0(0, 0) + t0(1, 0) + t0(0, 1) + t0(1, 1)
     np.testing.assert_array_equal(np.asarray(want['out'])[region],
                                   np.asarray(got['out'])[region],
                                   err_msg=method)
+
+
+def test_cross_statement_var_reuse_is_frame_independent():
+  """A reuse variable created by one statement's Expression must read
+  correctly from another statement whose Linearizer has different
+  mins/anchors (round-3 find: the old frame-relative read convention
+  was off by the defining frame's mins, caught by the symmetric
+  contrast rewrite; reuse vars now store at their least leaf)."""
+  from soda_tpu.api import build_stencil
+  g1 = [(1, 0), (15, 0), (1, 16), (15, 16),
+        (0, 1), (16, 1), (0, 15), (16, 15)]
+  g2 = [(2, 1), (14, 1), (2, 15), (14, 15),
+        (1, 2), (15, 2), (1, 14), (15, 14)]
+  lines = [
+      'kernel: t', 'burst width: 64', 'unroll factor: 1',
+      'iterate: 1', 'border: ignore', 'cluster: none',
+      'input float: a(512, *)',
+      'local float: p(0, 0) = ' + ' + '.join(
+          'a(%d, %d)' % o for o in g1),
+      'local float: q(0, 0) = ' + ' + '.join(
+          'a(%d, %d)' % o for o in g2),
+      'output float: y(0, 0) = p(0, 0) * 3 + q(0, 0) * 5',
+  ]
+  src = '\n'.join(lines)
+  shape = (64, 512)
+  plain = build_stencil(src, tile_size=(512, 0))
+  inputs = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, inputs)['y']
+  for method in ('greedy', 'optimal', 'yes'):
+    rew = build_stencil(src, tile_size=(512, 0),
+                        optimizations={'computation-reuse': method})
+    got = reference.run(rew, inputs)['y']
+    region = reference.output_valid_slices(rew, shape, 'y')
+    np.testing.assert_allclose(got[region], want[region],
+                               rtol=1e-4, atol=1e-4,
+                               err_msg=method)
+
+
+def test_linearizer_delta_balanced_decode():
+  """delta() decodes signed relative offsets exactly where restore's
+  floor decode aliases (tile-sized radices)."""
+  lin = Linearizer([(0, 0), (16, 16)], tile_size=(512, 0))
+  assert lin.sizes[0] == 512
+  for true in [(-8, 1), (8, -1), (0, -3), (-16, 0), (5, 7)]:
+    encoded = sum(t * w for t, w in zip(true, lin.weights))
+    assert lin.delta(encoded) == true, (true, lin.delta(encoded))

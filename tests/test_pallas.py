@@ -240,3 +240,30 @@ output dram 1 float: y(0, 0) = x(0, 0) * k[0]
   inputs = reference.make_test_inputs(st, (16, 128))
   with pytest.raises(utils.InputError):
     ex(inputs, params={})
+
+
+@pytest.mark.parametrize('name,shape,builder_kw', [
+    ('jacobi3d', (64, 64, 64), {'mid_tile': 32, 'block_rows': 16}),
+    ('blur', (128, 64), {'block_rows': 32}),
+    ('heat3d', (64, 32, 64), {'block_rows': 16}),
+    ('erosion', (256, 64), {'block_rows': 64}),
+])
+def test_out_dma_matches_oracle(name, shape, builder_kw):
+  """Manual output DMA (staging + async copies, bypassing the Pallas
+  output-block pipeline) is semantics-preserving on every store path:
+  3-D mid-blocked, plain 2-D/3-D, value mode."""
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  tiles = {'jacobi3d': (64, 32, 0), 'blur': (64, 0),
+           'heat3d': (64, 32, 0), 'erosion': (64, 0)}
+  stencil = corpus.build(name, tile_size=tiles[name])
+  cls = MidTiledPallasExecutor if 'mid_tile' in builder_kw \
+      else PallasExecutor
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = cls(stencil, shape, out_dma=True, **builder_kw)
+  got = ex(inputs)
+  for out in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out)
+    assert_close_reference(
+        np.asarray(got[out])[region], want[out][region],
+        stencil.symbol_table[out].is_float, f'{name}:out_dma')
