@@ -51,13 +51,15 @@ CONFIGS = (
      {'block_rows': 256}),
     ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
      {'block_rows': 128}),
+    # roll-shift value mode (round 3): all shifted loads are rotates
+    # of full-slab-extent values — heat3d reaches the full roofline
     ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0),
                                  'optimizations': {'distribute': True}},
-     {'block_rows': 128}),
+     {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'}),
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
-     {'lane_shift': 'rotate', 'block_rows': 256}),
+     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
     # slice mode + transposed lane regions measured 0.325 vs rotate's
     # 0.30-0.31; the probe still tries rotate
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
@@ -71,7 +73,7 @@ CONFIGS = (
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
-     {'lane_shift': 'rotate', 'block_rows': 256}),
+     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count
@@ -79,8 +81,9 @@ CONFIGS = (
                                 'optimizations': {'computation-reuse':
                                                   'yes'}}, {}),
     ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)},
-     {'block_rows': 128}),
-    ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)}, {}),
+     {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+    ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
+     {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'}),
 )
 
 

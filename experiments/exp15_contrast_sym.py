@@ -91,11 +91,18 @@ def measure():
   src, n_groups = sym_source()
   log('%d coefficient groups' % n_groups)
   for tag, overrides, opts in (
-      ('sym plain', {}, {}),
-      ('sym +CR greedy', {'optimizations': {'computation-reuse':
-                                            'greedy'}}, {}),
-      ('sym +CR native', {'optimizations': {'computation-reuse':
-                                            'yes'}}, {}),
+      # exp12: wide shifted add-chains now legalize in value mode
+      ('sym plain value', {}, {'stage_mode': 'value',
+                               'block_rows': 128}),
+      ('sym +CR greedy value', {'optimizations': {'computation-reuse':
+                                                  'greedy'}},
+       {'stage_mode': 'value', 'block_rows': 128}),
+      ('sym +CR native value', {'optimizations': {'computation-reuse':
+                                                  'yes'}},
+       {'stage_mode': 'value', 'block_rows': 128}),
+      ('sym +CR greedy value b256',
+       {'optimizations': {'computation-reuse': 'greedy'}},
+       {'stage_mode': 'value', 'block_rows': 256}),
   ):
     try:
       stencil = build_stencil(src, tile_size=(512, 0), **overrides)

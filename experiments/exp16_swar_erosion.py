@@ -29,7 +29,7 @@ def log(*a):
 DISTS = (1, 2, 4, 8, 3)
 
 
-def slope(make, x0, n_small=8, n_big=64, reps=3):
+def slope(make, x0, n_small=64, n_big=2048, reps=3):
   import jax.numpy as jnp
 
   fs, fb = make(n_small), make(n_big)
@@ -44,6 +44,8 @@ def slope(make, x0, n_small=8, n_big=64, reps=3):
   timed(fb)
   ts = min(timed(fs) for _ in range(reps))
   tb = min(timed(fb) for _ in range(reps))
+  log('    abs: t(%d)=%.3f ms t(%d)=%.3f ms' %
+      (n_small, ts * 1e3, n_big, tb * 1e3))
   return max((tb - ts) / (n_big - n_small), 1e-12)
 
 

@@ -220,7 +220,8 @@ class PallasExecutor:
                apply_preserve_border: bool = True,
                transpose_lanes: str = 'auto',
                narrow: str = 'auto',
-               out_dma: bool = False):
+               out_dma: bool = False,
+               shift_mode: str = 'window'):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -249,6 +250,18 @@ class PallasExecutor:
     # blocks (globally-invalid border cells receive stale staging
     # data, which only ever lands outside the valid region).
     self.out_dma = bool(out_dma)
+    if shift_mode not in ('window', 'roll'):
+      raise ValueError("shift_mode must be window|roll")
+    # shift_mode='roll' (value mode only): every shifted load is an
+    # in-register ROTATE of a full-slab-extent value (pltpu.roll on
+    # the stream/mid axes — legal since the round-3 Mosaic update,
+    # exp12 — and the lane rotate for the minor axis) instead of a
+    # misaligned windowed slice. Wrap-around garbage lands exactly in
+    # the slab-margin cells the validity analysis already excludes;
+    # store windows clip to those margins, so valid cells never see
+    # it. Motivated by exp16: isolated rotate-style chains run near 1
+    # cycle/vreg-op while windowed slab slices measure 2.6-4.5 slots.
+    self.shift_mode = shift_mode
     semantics.require_f64_support(stencil)
     if lane_shift == 'auto':
       # measured on v5e: for narrow lane extents (~one or two vregs)
@@ -494,7 +507,14 @@ class PallasExecutor:
     # (lane) axis is exempt: lane shifts rotate the loaded value
     # instead of slicing across lanes, and rotate wrap-around only
     # contaminates the globally-invalid border columns.
-    rotate_lanes = self.lane_shift == 'rotate'
+    value_mode_early = self.stage_mode == 'value'
+    roll_mode = value_mode_early and self.shift_mode == 'roll'
+    if self.shift_mode == 'roll' and not value_mode_early:
+      raise utils.InputError('shift_mode=roll requires stage_mode=value')
+    # roll mode rotates lanes too, so lane margins are exempt the same
+    # way rotate mode's are (wrap garbage only ever contaminates the
+    # globally-invalid border columns)
+    rotate_lanes = self.lane_shift == 'rotate' or roll_mode
     n_margin_axes = dim - 1 if rotate_lanes else dim
     size = (s,) + rest
     slab_margins: Dict[str, Tuple[Tuple[int, int], ...]] = {
@@ -537,7 +557,7 @@ class PallasExecutor:
     # sobel's factored gradients).
     transposed = set()
     if (value_mode and dim == 2 and not rotate_lanes and
-        self.transpose_lanes != 'off'):
+        not roll_mode and self.transpose_lanes != 'off'):
       lane_only = {}
       for stg in plan.stages:
         ok = True
@@ -629,6 +649,14 @@ class PallasExecutor:
         return pltpu.roll(value.astype(wide), shift,
                           axis=dim - 1).astype(dt)
       return pltpu.roll(value, shift, axis=dim - 1)
+
+    def axis_roll(value, delta, axis):
+      """value[.., i, ..] = src[.., i + delta, ..] on a non-lane axis
+      (stream/mid): in-register rotate instead of a windowed slice;
+      wrap garbage lands in the slab-margin cells stores clip away."""
+      if interpret:
+        return jnp.roll(value, -delta, axis=axis)
+      return pltpu.roll(value, (-delta) % value.shape[axis], axis=axis)
 
     def kernel(*refs):
       in_refs = refs[:n_in]
@@ -859,6 +887,13 @@ class PallasExecutor:
           input_vals_nw[name] = slabs[k][slot if not single else 0]
         return input_vals_nw[name], slab_margins[name]
 
+      def parent_val_full(name):
+        """Parent value at FULL slab extent (roll mode: stage values
+        are never trimmed; shifted reads rotate in place)."""
+        if name in stage_vals:
+          return stage_vals[name]
+        return parent_val(name)[0]  # inputs are full-extent already
+
       def parent_val_T(name):
         """Parent value in transposed (lane-major) layout."""
         if name not in stage_vals_T:
@@ -946,7 +981,21 @@ class PallasExecutor:
         st_idx = stage.tensor.st_idx
         region = _region(stage.name)
 
-        if value_mode and stage.name in transposed:
+        if value_mode and roll_mode:
+          def load(ref: ir.Ref, _st=st_idx):
+            if ref.name in stencil.param_names:
+              return params[ref.name][tuple(ref.idx)]
+            v = parent_val_full(ref.name)
+            for a in range(dim - 1):
+              d = dim - 1 - a
+              delta = ref.idx[d] - _st[d]
+              if delta:
+                v = axis_roll(v, delta, a)
+            lane_delta = ref.idx[0] - _st[0]
+            if lane_delta:
+              v = lane_roll(v, lane_delta)
+            return v
+        elif value_mode and stage.name in transposed:
           # transposed-region stage: identical slicing math with the
           # two axes walked in swapped order against lane-major values
           def load(ref: ir.Ref, _st=st_idx, _region=region):
@@ -1089,7 +1138,10 @@ class PallasExecutor:
       for k, name in enumerate(stencil.output_names):
         if value_mode or chunk is not None:
           if name not in direct_outs:
-            store_all_classes(k, name)
+            # roll-mode values are full slab extent; the store math
+            # expects the region-shaped view
+            val = stage_vals[name][_region(name)] if roll_mode else None
+            store_all_classes(k, name, val=val)
           continue
         src = stage_refs[name]
         if single:

@@ -100,6 +100,14 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
     cands.append({'block_rows': base.block_rows, 'lane_shift': 'rotate'})
     cands.append({'block_rows': base.block_rows * 2,
                   'lane_shift': 'rotate'})
+  # roll-shift value mode (round 3): full-extent values, every shifted
+  # load an in-register rotate — measured wins on denoise2d/3d (+28%),
+  # heat3d (full roofline), seidel2d/xcorr (+4%); losses elsewhere, so
+  # it stays a probed candidate rather than a default
+  cands.append({'block_rows': base.block_rows, 'stage_mode': 'value',
+                'shift_mode': 'roll'})
+  cands.append({'block_rows': base.block_rows * 2,
+                'stage_mode': 'value', 'shift_mode': 'roll'})
   return tuple(cands)
 
 

@@ -267,3 +267,39 @@ def test_out_dma_matches_oracle(name, shape, builder_kw):
     assert_close_reference(
         np.asarray(got[out])[region], want[out][region],
         stencil.symbol_table[out].is_float, f'{name}:out_dma')
+
+
+@pytest.mark.parametrize('name,ov', [
+    ('erosion', {'optimizations': {'computation-reuse': 'greedy'}}),
+    ('xcorr', {'optimizations': {'computation-reuse': 'greedy'}}),
+    ('jacobi2d', {}),
+    ('sobel2d', {}),
+    ('blur', {}),
+    ('heat3d', {}),
+    ('denoise2d', {}),
+])
+def test_roll_shift_mode_matches_oracle(name, ov):
+  """shift_mode='roll': every shifted load rotates a full-slab-extent
+  value; wrap garbage must stay confined to the margin cells the
+  validity analysis excludes (store windows clip them)."""
+  shapes = {'heat3d': (64, 32, 64)}
+  tiles = {'heat3d': (64, 32, 0)}
+  shape = shapes.get(name, (256, 128))
+  stencil = corpus.build(name, tile_size=tiles.get(name, (128, 0)), **ov)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = PallasExecutor(stencil, shape, stage_mode='value',
+                      shift_mode='roll', block_rows=32)
+  got = ex(inputs)
+  for out in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out)
+    assert_close_reference(
+        np.asarray(got[out])[region], want[out][region],
+        stencil.symbol_table[out].is_float, f'{name}:roll')
+
+
+def test_roll_shift_requires_value_mode():
+  stencil = corpus.build('blur', tile_size=(128, 0))
+  with pytest.raises(Exception, match='shift_mode=roll'):
+    PallasExecutor(stencil, (256, 128), stage_mode='vmem',
+                   shift_mode='roll')
