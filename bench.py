@@ -195,6 +195,10 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
                    {'lane_shift': 'rotate', 'block_rows': base_block * 2},
                    {'lane_shift': 'rotate',
                     'block_rows': base_block * 4}]
+  if ex_opts.get('shift_mode') is None:
+    # roll-shift value mode: measured winner on several kernels
+    candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
+                       'block_rows': base_block})
   candidates = [c for c in candidates if c != cached_cfg]
   for cand in candidates:
     if over_budget():

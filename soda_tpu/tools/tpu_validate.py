@@ -46,7 +46,7 @@ THRESHOLD = 1e-4
 KERNEL_THRESHOLDS = {'contrast': 1e-3}
 
 
-def check(name, variants=()):
+def check(name, variants=(), ex_opts=None):
   from soda_tpu import corpus
   from soda_tpu.backend import reference
   from soda_tpu.backend.grouped import GroupedPallasExecutor
@@ -62,7 +62,7 @@ def check(name, variants=()):
   if stencil.cluster in ('coarse', 'fine'):
     ex = GroupedPallasExecutor(stencil, shape)
   else:
-    ex = PallasExecutor(stencil, shape)
+    ex = PallasExecutor(stencil, shape, **(ex_opts or {}))
   got = ex(inputs, params)
   worst = 0.0
   bad_total = 0
@@ -106,6 +106,21 @@ VARIANTS = (
     ('sobel2d+coarse', 'sobel2d', {'cluster': 'coarse'}),
 )
 
+# executor-config variants (the round-3 roll-shift bench seeds must be
+# hardware-validated, not just interpret-tested)
+ROLL = {'stage_mode': 'value', 'shift_mode': 'roll'}
+EX_VARIANTS = (
+    ('jacobi3d+roll', 'jacobi3d', {}, ROLL),
+    ('heat3d+roll', 'heat3d', {'optimizations': {'distribute': True}},
+     ROLL),
+    ('seidel2d+roll', 'seidel2d',
+     {'optimizations': {'computation-reuse': 'greedy'}}, ROLL),
+    ('xcorr+roll', 'xcorr',
+     {'optimizations': {'computation-reuse': 'greedy'}}, ROLL),
+    ('denoise2d+roll', 'denoise2d', {}, ROLL),
+    ('denoise3d+roll', 'denoise3d', {}, dict(ROLL, block_rows=64)),
+)
+
 
 def main() -> int:
   import jax
@@ -121,12 +136,14 @@ def main() -> int:
                                    jax.default_backend()))
   failures = 0
   rows = []
-  cases = [(name, name, {}) for name in sorted(corpus.CORPUS)]
+  cases = [(name, name, {}, None) for name in sorted(corpus.CORPUS)]
   if do_variants:
-    cases += [(tag, kernel, dict(ov)) for tag, kernel, ov in VARIANTS]
-  for tag, kernel, variants in cases:
+    cases += [(tag, kernel, dict(ov), None) for tag, kernel, ov in VARIANTS]
+    cases += [(tag, kernel, dict(ov), dict(opts))
+              for tag, kernel, ov, opts in EX_VARIANTS]
+  for tag, kernel, variants, ex_opts in cases:
     try:
-      bad, worst = check(kernel, variants)
+      bad, worst = check(kernel, variants, ex_opts)
       status = 'PASS' if bad == 0 else 'FAIL(%d bad, worst %.3g)' % (
           bad, worst)
       failures += bad != 0
