@@ -62,20 +62,25 @@ CONFIGS = (
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
-    # slice mode + transposed lane regions measured 0.325 vs rotate's
-    # 0.30-0.31; the probe still tries rotate
+    # roll+transposed hybrid (exp22): sublane chain shifts roll while
+    # the lane chain keeps its transposed evaluation — 0.405 vs the
+    # slice+transposed seed's 0.34; blocks >256 crash Mosaic
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},
-     {'lane_shift': 'slice', 'block_rows': 256}),
+     {'stage_mode': 'value', 'shift_mode': 'roll',
+      'transpose_lanes': 'on', 'block_rows': 256}),
     # separable factorization leaves sobel2d with 8 single-axis taps;
     # the lane-crossing shifted load (slice) then beats the rotate
     ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)},
      {'lane_shift': 'slice', 'block_rows': 256}),
+    # hybrid beats plain roll 0.346 vs 0.30 (exp22); 3 region
+    # crossings, so 'auto' would skip the regions — force 'on'
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
-     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
+      'transpose_lanes': 'on'}),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count
@@ -201,6 +206,12 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     # roll-shift value mode: measured winner on several kernels
     candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
                        'block_rows': base_block})
+    if len(shape) == 2:
+      # roll + transposed-lane-region hybrid (exp22: erosion +19%,
+      # xcorr +15% over their previous seeds)
+      candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
+                         'transpose_lanes': 'on',
+                         'block_rows': base_block})
   candidates = [c for c in candidates if c != cached_cfg]
   for cand in candidates:
     if over_budget():

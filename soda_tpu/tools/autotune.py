@@ -108,6 +108,11 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
                 'shift_mode': 'roll'})
   cands.append({'block_rows': base.block_rows * 2,
                 'stage_mode': 'value', 'shift_mode': 'roll'})
+  if len(shape) == 2:
+    # roll + transposed-lane-region hybrid (exp22): erosion +19%,
+    # xcorr +15% over their previous best seeds
+    cands.append({'block_rows': base.block_rows, 'stage_mode': 'value',
+                  'shift_mode': 'roll', 'transpose_lanes': 'on'})
   return tuple(cands)
 
 

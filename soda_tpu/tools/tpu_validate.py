@@ -119,6 +119,14 @@ EX_VARIANTS = (
      {'optimizations': {'computation-reuse': 'greedy'}}, ROLL),
     ('denoise2d+roll', 'denoise2d', {}, ROLL),
     ('denoise3d+roll', 'denoise3d', {}, dict(ROLL, block_rows=64)),
+    # roll + transposed-lane-region hybrid (exp22 bench seeds)
+    ('erosion+hybrid', 'erosion',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=256)),
+    ('xcorr+hybrid', 'xcorr',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=256)),
+    ('blur+roll', 'blur', {}, dict(ROLL, block_rows=512)),
 )
 
 

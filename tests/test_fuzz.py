@@ -240,3 +240,35 @@ def test_fuzz_pass_soundness_vs_unfactored_oracle(seed):
   assert_close_reference(
       np.asarray(got['out'])[region], want['out'][region], is_float,
       'pass-soundness seed=%d\n%s' % (seed, program))
+
+
+@pytest.mark.parametrize('seed', range(95, 105))
+def test_fuzz_roll_shift_and_hybrid(seed):
+  """Fuzz the round-3 roll-shift value mode and its transposed-region
+  hybrid: full-slab-extent values with every shifted load an
+  in-register rotate must keep wrap garbage out of the valid region.
+  One-off campaigns: 200 programs plain roll + 150 forced-hybrid, 0
+  failures (VALIDATION.md); these seeds keep the paths pinned."""
+  rng = np.random.default_rng(seed)
+  dim = 2 if seed % 3 else 3
+  program = gen_program(rng, dim)
+  try:
+    stencil = build_stencil(program)
+  except Exception as e:
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (24, 32) if dim == 2 else (16, 16, 32)
+  inputs = reference.make_test_inputs(stencil, shape, seed=seed)
+  want = reference.run(stencil, inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  is_float = stencil.symbol_table['out'].is_float
+  modes = [{}]
+  if dim == 2:  # transposed regions are 2-D machinery
+    modes.append({'transpose_lanes': 'on'})
+  for extra in modes:
+    got = PallasExecutor(stencil, shape, stage_mode='value',
+                         shift_mode='roll', block_rows=8, **extra)(inputs)
+    assert_close_reference(
+        np.asarray(got['out'])[region], want['out'][region], is_float,
+        'roll %s seed=%d\n%s' % (extra, seed, program))
