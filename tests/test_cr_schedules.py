@@ -7,6 +7,8 @@ jacobi2d 5-point -> 3 ops, 3x3 ones -> 4 ops / distance <= 12,
 tests assert the CR-rewritten stencil stays numerically identical.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -17,6 +19,29 @@ from soda_tpu.optimization import cr_schedules as cr
 from soda_tpu.optimization.computation_reuse import Linearizer
 
 from checks import assert_close_reference
+
+
+@pytest.fixture(autouse=True)
+def _profiling_hooks(request):
+  """Opt-in CR-search profiling, the reference's PROFILING env hook
+  (test_computation_reuse.py:75-93): wrap each scheduler test in
+  cProfile + tracemalloc and print both when PROFILING is set."""
+  if not os.environ.get('PROFILING'):
+    yield
+    return
+  import cProfile
+  import pstats
+  import tracemalloc
+  profile = cProfile.Profile()
+  tracemalloc.start()
+  profile.enable()
+  yield
+  profile.disable()
+  current, peak = tracemalloc.get_traced_memory()
+  tracemalloc.stop()
+  print('\n%s: mem current %.1f KB peak %.1f KB' %
+        (request.node.name, current / 1024, peak / 1024))
+  pstats.Stats(profile).sort_stats('cumulative').print_stats(10)
 
 
 class TestCommSchedule:
