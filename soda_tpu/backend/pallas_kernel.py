@@ -396,6 +396,12 @@ class PallasExecutor:
     b = block_rows or choose_block_rows(self.plan, est_shape,
                                         stage_mode=self.stage_mode,
                                         compute_chunk=self.compute_chunk)
+    if (block_rows is None and self.shift_mode == 'roll' and
+        len(self.shape) == 2 and self.transpose_lanes != 'off'):
+      # hybrid transposed regions crash Mosaic above 256 stream rows
+      # (oversized transposed full-extent temporaries, exp22); clamp
+      # the estimator's pick — an explicit block_rows overrides
+      b = min(b, 256)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
     b = _pad_to(max(b, self.lo, self.hi + 1), self.align0)
