@@ -298,6 +298,40 @@ def schedule_from_json(j: Dict[str, Any], null_aattr: bool) -> CommSchedule:
   return CommSchedule(left, right, j['distance'])
 
 
+def idempotent_window_schedule(
+    rattrs: Sequence[int]) -> Optional[CommSchedule]:
+  """Overlapping doubling chain for min/max over an arithmetic run.
+
+  Idempotent reductions tolerate overlapping covers, so a min over n
+  contiguous taps folds in ceil(log2(n)) chained ops: double the span
+  while it fits, then one final step whose cover overlaps the prefix
+  (span 15 + distance 3 covers [0, 18] for n = 19). The exact-cover
+  schedulers are bound to log2(n) + popcount(n) - 1 ops — the DAC'20
+  formulation (reference computation_reuse.py) schedules sums, where
+  covers must partition the window. Sums keep that bound; only bare
+  min/max windows (identical aattrs) take this path. The large
+  power-of-two distances are also what the TPU executors shift
+  cheapest (an 8-aligned sublane roll is a vreg renumber,
+  experiments/exp24_stage_tax.py).
+
+  Returns None unless ``rattrs`` (sorted) is an arithmetic progression
+  of at least 4 taps.
+  """
+  n = len(rattrs)
+  if n < 4:
+    return None
+  w = rattrs[1] - rattrs[0]
+  if w <= 0 or any(b - a != w for a, b in zip(rattrs, rattrs[1:])):
+    return None
+  sched: Payload = None
+  span = 1
+  while span < n:
+    d = min(span, n - span)
+    sched = CommSchedule(sched, sched, d * w)
+    span += d
+  return sched
+
+
 def linear_schedule(operands: Sequence[Tuple[int, Payload]]) -> CommSchedule:
   """Left-deep chain with no reuse (the do-nothing baseline)."""
   operands = sorted(operands, key=lambda x: x[0])
@@ -852,6 +886,12 @@ class Expression:
       cls = ExternalSchedules
     else:
       raise utils.InputError('unknown computation-reuse method: %s' % method)
+    if self.operator in ('min', 'max') and self.aattrs is None and (
+        self.stencil is None or
+        self.stencil.optimizations.get('idempotent-window', 'yes') != 'no'):
+      chain = idempotent_window_schedule(self.rattrs)
+      if chain is not None and chain.num_ops < len(self.rattrs) - 1:
+        return chain
     schedule = cls(self.rattrs, self.aattrs, self.linearizer).best
     if schedule is None or schedule.num_ops >= len(self.rattrs) - 1:
       return None  # no reuse found; leave the expression alone

@@ -389,3 +389,68 @@ def test_linearizer_delta_balanced_decode():
   for true in [(-8, 1), (8, -1), (0, -3), (-16, 0), (5, 7)]:
     encoded = sum(t * w for t, w in zip(true, lin.weights))
     assert lin.delta(encoded) == true, (true, lin.delta(encoded))
+
+
+def _min_op_count(stencil) -> int:
+  from soda_tpu.ir import nodes as ir
+  count = [0]
+
+  def cb(node, _):
+    if isinstance(node, ir.Call) and node.name in ('min', 'max'):
+      count[0] += len(node.operand) - 1
+    return node
+
+  for stmt in stencil.local_stmts + stencil.output_stmts:
+    for expr in [stmt.expr] + [let.expr for let in stmt.let]:
+      expr.visit(cb)
+  return count[0]
+
+
+class TestIdempotentWindow:
+  """Overlapping doubling chains for bare min/max windows.
+
+  A TPU-only improvement over the exact-cover schedulers: idempotent
+  reductions tolerate overlapping covers, so an n-tap contiguous
+  min folds in ceil(log2(n)) ops instead of the partition-bound
+  log2(n) + popcount(n) - 1 the DAC'20 formulation yields (reference
+  computation_reuse.py schedules sums)."""
+
+  def test_chain_shape_19(self):
+    sched = cr.idempotent_window_schedule(tuple(range(19)))
+    assert sched.num_ops == 5
+    assert {off for off, _ in sched.norm_attrs} == set(range(19))
+
+  def test_chain_shape_pow2(self):
+    sched = cr.idempotent_window_schedule(tuple(range(16)))
+    assert sched.num_ops == 4
+    assert {off for off, _ in sched.norm_attrs} == set(range(16))
+
+  def test_strided_progression(self):
+    sched = cr.idempotent_window_schedule(tuple(range(0, 36, 4)))
+    assert sched.num_ops == 4
+    assert {off for off, _ in sched.norm_attrs} == set(range(0, 36, 4))
+
+  def test_non_progression_returns_none(self):
+    assert cr.idempotent_window_schedule((0, 1, 3, 4)) is None
+    assert cr.idempotent_window_schedule((0, 1, 2)) is None
+
+  def test_erosion_uses_log_chain(self):
+    st = corpus.build('erosion',
+                      optimizations={'computation-reuse': 'greedy'})
+    assert _min_op_count(st) == 10  # 5 per 19-tap axis
+
+  def test_knob_disables_chain(self):
+    st = corpus.build('erosion',
+                      optimizations={'computation-reuse': 'greedy',
+                                     'idempotent-window': 'no'})
+    assert _min_op_count(st) == 12  # exact-cover optimum
+
+  def test_sums_keep_exact_cover(self):
+    # xcorr's 19-tap ADD chains must not take the overlap path
+    st = corpus.build('xcorr',
+                      optimizations={'computation-reuse': 'greedy'})
+    from soda_tpu.backend import plan as planmod
+    from soda_tpu.model import estimate
+    pl = planmod.make_plan(st, 'full')
+    m = estimate.op_model(st, pl, lanes=2048)
+    assert m['arith']['add'] == 13.0
