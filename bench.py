@@ -62,9 +62,9 @@ CONFIGS = (
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
-    # roll+transposed hybrid (exp22): sublane chain shifts roll while
-    # the lane chain keeps its transposed evaluation — 0.405 vs the
-    # slice+transposed seed's 0.34; blocks >256 crash Mosaic
+    # roll+transposed hybrid (exp22) + idempotent-window CR chain
+    # (exp25: 12 -> 10 min ops, 0.385 -> 0.416); blocks >256 crash
+    # Mosaic
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},

@@ -225,10 +225,22 @@ def main():
       first = (str(e).splitlines() or [repr(e)])[0]
       log('%-12s: FAILED %s' % (tag, first[:140]))
 
-  for d in (1, 2, 7, 8, 16, 64):
-    run('sub_d%d' % d, make_body_dist(0, d), 5)
-  for d in (1, 2, 7, 8, 64, 128, 256, 512):
-    run('lane_d%d' % d, make_body_dist(1, d), 5)
+  if '--dists' in sys.argv:
+    for d in (1, 2, 7, 8, 16, 64):
+      run('sub_d%d' % d, make_body_dist(0, d), 5)
+    for d in (1, 2, 7, 8, 64, 128, 256, 512):
+      run('lane_d%d' % d, make_body_dist(1, d), 5)
+    return
+
+  run('ew10', body_ew10_real, 10)
+  run('roll10', body_roll10, 10)
+  run('proll10', body_proll10, 10)
+  run('indep10', body_indep10, 10)
+  run('proll5_sub', body_proll5_sub, 5)
+  run('proll5_lane', body_proll5_lane, 5)
+  for k in (32, 128):
+    run('chunk%d' % k, make_body_chunk(k), 10)
+  run('chunk64x512', make_body_chunk(64, 512), 10)
 
 
 if __name__ == '__main__':
