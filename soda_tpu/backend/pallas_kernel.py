@@ -44,7 +44,8 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.backend import semantics
-from soda_tpu.backend.plan import FusionPlan, make_plan
+from soda_tpu.backend.plan import (FusionPlan, make_plan,
+                                   validate_grid)
 from soda_tpu.ir import nodes as ir
 
 # VMEM budget for choosing block_rows (bytes); leaves headroom out of
@@ -225,6 +226,7 @@ class PallasExecutor:
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
+    validate_grid(stencil, self.shape)
     # the sharded executor redoes the preserve fix-up with the GLOBAL
     # boundary after cropping, so its inner kernel skips the per-shard
     # pass that would be discarded

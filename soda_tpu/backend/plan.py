@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from soda_tpu import utils
 from soda_tpu.core import stencil as core
 from soda_tpu.core.tensor import Tensor
 
@@ -95,6 +96,31 @@ def stage_margins(stencil, tensor: Tensor
                   ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
   """Valid-region margins of one tensor (see materialized_margins)."""
   return materialized_margins(stencil)[tensor.name]
+
+
+def validate_grid(stencil, shape: Sequence[int]) -> None:
+  """Reject grids too small for the cumulative stencil window.
+
+  Executors otherwise fail deep inside with shape errors (or worse,
+  an all-margin output) when some stage's valid region is empty along
+  an axis. The reference's generated host rejects undersized tiles up
+  front (its tile size is a compile-time constant >= the window);
+  here the grid arrives at run time, so check every materialized
+  stage. Raises utils.InputError naming the first offending tensor.
+  """
+  dim = len(stencil.tile_size)
+  if len(shape) != dim:
+    raise utils.InputError(
+        'expected %d-D grid, got %d-D' % (dim, len(shape)))
+  for name, (lo, hi) in materialized_margins(stencil).items():
+    for d in range(dim):
+      # shape is in array-axis (reversed-DSL) order
+      extent = shape[dim - 1 - d]
+      if lo[d] + hi[d] >= extent:
+        raise utils.InputError(
+            'grid dimension %d (extent %d) is too small for the '
+            'cumulative stencil window of tensor %s '
+            '(needs > %d cells)' % (d, extent, name, lo[d] + hi[d]))
 
 
 @dataclasses.dataclass

@@ -22,7 +22,7 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.backend import semantics
-from soda_tpu.backend.plan import stage_margins
+from soda_tpu.backend.plan import stage_margins, validate_grid
 from soda_tpu.core.tensor import Tensor
 from soda_tpu.ir import nodes as ir
 
@@ -106,10 +106,7 @@ class ReferenceExecutor:
         raise utils.InputError(
             'input %s shape %s != %s' % (name, arr.shape, shape))
     assert shape is not None
-    if len(shape) != len(stencil.tile_size):
-      raise utils.InputError(
-          'expected %d-D input, got %d-D' % (len(stencil.tile_size),
-                                             len(shape)))
+    validate_grid(stencil, shape)
 
     for tensor in stencil.chronological_tensors:
       if tensor.is_input():

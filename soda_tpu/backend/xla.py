@@ -22,7 +22,8 @@ import numpy as np
 
 from soda_tpu import utils
 from soda_tpu.backend import semantics
-from soda_tpu.backend.plan import FusionPlan, make_plan
+from soda_tpu.backend.plan import (FusionPlan, make_plan,
+                                   validate_grid)
 from soda_tpu.ir import nodes as ir
 
 
@@ -90,6 +91,7 @@ class XlaExecutor:
     import jax.numpy as jnp
     self.stencil = stencil
     self.shape = tuple(shape)
+    validate_grid(stencil, self.shape)
     semantics.require_f64_support(stencil)
     self.plan: FusionPlan = make_plan(stencil, cluster)
     self._jnp = jnp

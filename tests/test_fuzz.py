@@ -10,12 +10,23 @@ program for reproduction.
 import numpy as np
 import pytest
 
+from soda_tpu import utils
 from soda_tpu.api import build_stencil
 from soda_tpu.backend import reference
 from soda_tpu.backend.pallas_kernel import PallasExecutor
 from soda_tpu.backend.xla import XlaExecutor
 
 from checks import assert_close_reference
+
+
+def oracle_or_skip(stencil, inputs):
+  """Run the oracle; skip the seed when the generated program's
+  cumulative window cannot fit the test grid (validate_grid raises a
+  clean InputError — a generator artifact, not a bug)."""
+  try:
+    return reference.run(stencil, inputs)
+  except utils.InputError as e:
+    pytest.skip('grid too small for generated window: %r' % e)
 
 INT_TYPES = ('int16', 'uint16', 'int32', 'int8')
 FLOAT_TYPES = ('float',)
@@ -96,7 +107,7 @@ def test_fuzz_backends_match_oracle(seed):
     pytest.skip('generator produced invalid program: %r' % e)
   shape = (24, 32) if dim == 2 else (16, 16, 32)
   inputs = reference.make_test_inputs(stencil, shape, seed=seed)
-  want = reference.run(stencil, inputs)
+  want = oracle_or_skip(stencil, inputs)
   region = reference.output_valid_slices(stencil, shape)
   if any(s.stop - s.start <= 0 for s in region):
     pytest.skip('window exceeds the test grid')
@@ -125,7 +136,7 @@ def test_fuzz_cr_and_cluster(seed):
     pytest.skip('generator produced invalid program: %r' % e)
   shape = (24, 32)
   inputs = reference.make_test_inputs(stencil, shape, seed=seed)
-  want = reference.run(stencil, inputs)
+  want = oracle_or_skip(stencil, inputs)
   region = reference.output_valid_slices(stencil, shape)
   if any(s.stop - s.start <= 0 for s in region):
     pytest.skip('window exceeds the test grid')
@@ -149,7 +160,7 @@ def test_fuzz_sharded(seed):
     pytest.skip('generator produced invalid program: %r' % e)
   shape = (61, 32) if seed % 2 else (64, 32)  # odd: pad-and-crop
   inputs = reference.make_test_inputs(stencil, shape, seed=seed)
-  want = reference.run(stencil, inputs)
+  want = oracle_or_skip(stencil, inputs)
   region = reference.output_valid_slices(stencil, shape)
   if any(s.stop - s.start <= 0 for s in region):
     pytest.skip('window exceeds the test grid')
@@ -228,7 +239,7 @@ def test_fuzz_pass_soundness_vs_unfactored_oracle(seed):
     pytest.skip('generator produced invalid program: %r' % e)
   shape = (24, 64)
   inputs = reference.make_test_inputs(plain, shape, seed=seed)
-  want = reference.run(plain, inputs)
+  want = oracle_or_skip(plain, inputs)
   region_p = reference.output_valid_slices(plain, shape)
   region_f = reference.output_valid_slices(factored, shape)
   region = tuple(slice(max(a.start, b.start), min(a.stop, b.stop))
@@ -240,6 +251,71 @@ def test_fuzz_pass_soundness_vs_unfactored_oracle(seed):
   assert_close_reference(
       np.asarray(got['out'])[region], want['out'][region], is_float,
       'pass-soundness seed=%d\n%s' % (seed, program))
+
+
+def gen_minmax_window_program(rng: np.random.Generator) -> str:
+  """Bare min/max windows over arithmetic tap progressions — the
+  idempotent-window CR path's trigger shape (erosion generalized:
+  random operator, tap count, stride, axis, store offsets)."""
+  in_type = ('int16', 'uint16', 'int32', 'float')[rng.integers(0, 4)]
+  lines = [
+      'kernel: fuzzmm', 'burst width: 64', 'unroll factor: 1',
+      'iterate: 1', 'border: ignore', 'cluster: none',
+      'input dram 0 %s: src(48, *)' % in_type,
+  ]
+  parent = 'src'
+  for k in range(int(rng.integers(1, 3)) + 1):
+    is_out = k and True
+    op = ('min', 'max')[rng.integers(0, 2)]
+    n = int(rng.integers(4, 13))
+    stride = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, 2))
+    base = int(rng.integers(-2, 3))
+    taps = []
+    for i in range(n):
+      idx = [0, 0]
+      idx[axis] = base + i * stride
+      taps.append('%s(%d, %d)' % (parent, idx[0], idx[1]))
+    store = (int(rng.integers(0, 3)), int(rng.integers(0, 3)))
+    name = 't%d' % k
+    lines.append('local %s: %s(%d, %d) = %s(%s)' % (
+        in_type, name, store[0], store[1], op, ', '.join(taps)))
+    parent = name
+  lines.append('output dram 1 %s: out(0, 0) = %s(0, 0)' %
+               (in_type, parent))
+  return '\n'.join(lines)
+
+
+@pytest.mark.parametrize('seed', range(105, 125))
+def test_fuzz_idempotent_window(seed):
+  """The idempotent-window doubling chain vs both the oracle and the
+  exact-cover scheduler (knob off): bit-exact three ways. Overlapping
+  covers are only sound for idempotent operators, so any operator/
+  gating slip shows up as a corrupted tap."""
+  rng = np.random.default_rng(seed)
+  program = gen_minmax_window_program(rng)
+  opts = {'computation-reuse': 'greedy'}
+  try:
+    chained = build_stencil(program, optimizations=dict(opts))
+    exact = build_stencil(program, optimizations=dict(
+        opts, **{'idempotent-window': 'no'}))
+  except Exception as e:
+    pytest.skip('generator produced invalid program: %r' % e)
+  shape = (40, 48)
+  inputs = reference.make_test_inputs(chained, shape, seed=seed)
+  want = oracle_or_skip(exact, inputs)
+  region = reference.output_valid_slices(chained, shape)
+  region_e = reference.output_valid_slices(exact, shape)
+  region = tuple(slice(max(a.start, b.start), min(a.stop, b.stop))
+                 for a, b in zip(region, region_e))
+  if any(s.stop - s.start <= 0 for s in region):
+    pytest.skip('window exceeds the test grid')
+  is_float = chained.symbol_table['out'].is_float
+  for stencil, tag in ((chained, 'chained'), (exact, 'exact')):
+    got = PallasExecutor(stencil, shape)(inputs)
+    assert_close_reference(
+        np.asarray(got['out'])[region], want['out'][region], is_float,
+        'idem-%s seed=%d\n%s' % (tag, seed, program))
 
 
 @pytest.mark.parametrize('seed', range(95, 105))
@@ -258,7 +334,7 @@ def test_fuzz_roll_shift_and_hybrid(seed):
     pytest.skip('generator produced invalid program: %r' % e)
   shape = (24, 32) if dim == 2 else (16, 16, 32)
   inputs = reference.make_test_inputs(stencil, shape, seed=seed)
-  want = reference.run(stencil, inputs)
+  want = oracle_or_skip(stencil, inputs)
   region = reference.output_valid_slices(stencil, shape)
   if any(s.stop - s.start <= 0 for s in region):
     pytest.skip('window exceeds the test grid')
