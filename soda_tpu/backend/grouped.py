@@ -24,7 +24,7 @@ import numpy as np
 from soda_tpu import utils
 from soda_tpu.backend import semantics
 from soda_tpu.backend.pallas_kernel import PallasExecutor, _prepare_args
-from soda_tpu.backend.plan import make_plan
+from soda_tpu.backend.plan import make_plan, validate_grid
 from soda_tpu.core.stencil import Stencil
 from soda_tpu.frontend import ast
 
@@ -96,6 +96,10 @@ class GroupedPallasExecutor:
     import jax.numpy as jnp
     self.stencil = stencil
     self.shape = tuple(shape)
+    # per-group sub-stencils see their group inputs as margin-zero, so
+    # the per-executor checks below do NOT compose to the full window —
+    # validate against the ORIGINAL stencil's cumulative margins here
+    validate_grid(stencil, self.shape)
     plan = make_plan(stencil, cluster or stencil.cluster or 'coarse')
     self.plan = plan
     self.executors: List[Tuple[Stencil, PallasExecutor]] = []

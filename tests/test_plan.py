@@ -124,3 +124,42 @@ class TestVmemEstimate:
     assert estimate_vmem(plan, shape, b, 'value') <= _VMEM_BUDGET
     if b < 1024:
       assert estimate_vmem(plan, shape, 2 * b, 'value') > _VMEM_BUDGET
+
+
+class TestOpModelModes:
+  """The distance-aware shift-cost model (experiments/exp24): per-mode
+  tables, aligned-distance discounts, and the auto min-over-modes."""
+
+  def _model(self, name, mode, lanes=2048, **overrides):
+    from soda_tpu.model import estimate
+    st = corpus.build(name, **overrides)
+    pl = plan_mod.make_plan(st, 'full')
+    return estimate.op_model(st, pl, lanes=lanes, mode=mode)
+
+  def test_roll_distance_classes(self):
+    # erosion's greedy+idempotent chain per axis: doubling shifts
+    # 1/2/4/8 plus the final overlap step's two anchored reads at
+    # -9/-6. Only d = 8 earns the 8-aligned vreg-renumber discount;
+    # the rest pay the misaligned concat-roll
+    m = self._model('erosion', 'roll',
+                    optimizations={'computation-reuse': 'greedy'})
+    assert m['lane_mode'] == 'roll'
+    assert m['shifts']['sublane_aligned'] == 1     # d = 8
+    assert m['shifts']['sublane'] == 5             # d = 1, 2, 4, -9, -6
+    assert m['shifts']['lane_aligned'] == 0        # window < 128 lanes
+    assert m['shifts']['lane'] == 6
+
+  def test_auto_is_min_over_modes(self):
+    from soda_tpu.model import estimate
+    for name in ('blur', 'erosion', 'jacobi2d'):
+      st = corpus.build(name)
+      pl = plan_mod.make_plan(st, 'full')
+      auto = estimate.op_model(st, pl, lanes=2048, mode='auto')
+      per_mode = [estimate.op_model(st, pl, lanes=2048, mode=m)
+                  for m in ('slice', 'roll')]
+      assert auto['slots_per_cell'] == min(
+          p['slots_per_cell'] for p in per_mode)
+
+  def test_narrow_lanes_allow_rotate(self):
+    a = self._model('blur', 'auto', lanes=128)
+    assert a['lane_mode'] == 'rotate'  # 1.5-slot narrow in-register mode
