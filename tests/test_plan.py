@@ -163,3 +163,51 @@ class TestOpModelModes:
   def test_narrow_lanes_allow_rotate(self):
     a = self._model('blur', 'auto', lanes=128)
     assert a['lane_mode'] == 'rotate'  # 1.5-slot narrow in-register mode
+
+
+class TestValidateGrid:
+  """validate_grid: every executor front door rejects grids smaller
+  than the cumulative stencil window with a clean InputError (the
+  reference's generated host fixes tile size >= window at compile
+  time; here the grid arrives at run time)."""
+
+  def _err(self, fn):
+    from soda_tpu import utils
+    with pytest.raises(utils.InputError) as ei:
+      fn()
+    return str(ei.value)
+
+  def test_undersized_named_tensor_and_axis(self):
+    # a 2-row grid trips the FIRST offending tensor (blur_x, streaming
+    # window 0..2); with enough rows but only 2 lanes, only blur_y's
+    # accumulated lane reach (DSL dim 0) trips
+    st = corpus.build('blur')
+    msg = self._err(lambda: plan_mod.validate_grid(st, (2, 64)))
+    assert 'blur_x' in msg and 'dimension 1' in msg
+    msg = self._err(lambda: plan_mod.validate_grid(st, (64, 2)))
+    assert 'blur_y' in msg and 'dimension 0' in msg
+
+  def test_dim_mismatch(self):
+    st = corpus.build('blur')
+    msg = self._err(lambda: plan_mod.validate_grid(st, (2, 4, 64)))
+    assert '2-D' in msg and '3-D' in msg
+
+  def test_boundary_extent_passes(self):
+    # smallest legal grid: window extent + 1 valid cell
+    st = corpus.build('blur')  # halo (2, 2) -> 3 rows / 3 lanes min
+    plan_mod.validate_grid(st, (3, 128))
+
+  def test_all_executor_front_doors_reject(self):
+    from soda_tpu import utils
+    from soda_tpu.backend import reference
+    from soda_tpu.backend.grouped import GroupedPallasExecutor
+    from soda_tpu.backend.pallas_kernel import PallasExecutor
+    from soda_tpu.backend.xla import XlaExecutor
+    st = corpus.build('erosion')  # 19x19 window
+    for mk in (lambda: XlaExecutor(st, (10, 128)),
+               lambda: PallasExecutor(st, (10, 128)),
+               lambda: GroupedPallasExecutor(st, (10, 128)),
+               lambda: reference.run(
+                   st, reference.make_test_inputs(st, (10, 128)))):
+      with pytest.raises(utils.InputError):
+        mk()
