@@ -14,6 +14,7 @@ plus double-buffered variants of both.  If loop beats grid by ~2us x
 steps, the lever is real and worth a builder mode.
 
 Run ON TPU (alone): python experiments/exp27_gridloop.py
+CPU correctness check: python experiments/exp27_gridloop.py interpret
 """
 
 import functools
@@ -37,10 +38,13 @@ def main():
   from jax.experimental.pallas import tpu as pltpu
   from soda_tpu.profiling import peak_bandwidth, slope_time
 
+  interpret = 'interpret' in sys.argv[1:]
+  if interpret:
+    jax.config.update('jax_platforms', 'cpu')
   peak = peak_bandwidth(jax.devices()[0])
   log('device: %s peak %.0f GB/s' % (jax.devices()[0], peak))
 
-  N, BLK = 256, 4
+  N, BLK = (64, 4) if interpret else (256, 4)
   steps = N // BLK
   bytes_moved = 2 * N * N * N * 4  # read once + write once
   est = bytes_moved / (peak * 1e9)
@@ -114,11 +118,12 @@ def main():
   def build(kernel, grid, nbuf):
     shp = ((nbuf, BLK, N, N) if nbuf > 1 else (BLK, N, N))
     sem = (nbuf,) if nbuf > 1 else ()
+    hbm = pl.ANY if interpret else pltpu.HBM
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        in_specs=[pl.BlockSpec(memory_space=hbm)],
+        out_specs=pl.BlockSpec(memory_space=hbm),
         out_shape=jax.ShapeDtypeStruct((N, N, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(shp, jnp.float32),
@@ -128,6 +133,7 @@ def main():
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',) * len(grid)),
+        interpret=interpret,
     )
 
   rng = np.random.default_rng(0)
@@ -146,6 +152,9 @@ def main():
       want = np.asarray(x) + 1
       got = np.asarray(jax.jit(call)(x))
       ok = np.array_equal(got, want)
+      if interpret:
+        log('%-10s %s' % (tag, 'OK' if ok else 'WRONG'))
+        continue
       dt, cs = slope_time(fn, [x], 0, est)
       frac = bytes_moved / dt / 1e9 / peak
       log('>>> %-10s %.3f ms  roofline=%.3f  per-step %.2f us  %s'
