@@ -222,6 +222,7 @@ class PallasExecutor:
                transpose_lanes: str = 'auto',
                narrow: str = 'auto',
                out_dma: bool = False,
+               stream_loop: bool = False,
                shift_mode: str = 'window'):
     import jax
     self.stencil = stencil
@@ -252,6 +253,13 @@ class PallasExecutor:
     # blocks (globally-invalid border cells receive stale staging
     # data, which only ever lands outside the valid region).
     self.out_dma = bool(out_dma)
+    # stream_loop: run ALL grid steps inside ONE kernel invocation
+    # (empty Pallas grid, lax.fori_loop over steps, implies out_dma
+    # staging for outputs). Candidate for the ~2us fixed cost per
+    # Pallas grid step that caps 256^3 jacobi3d at 0.45 of roofline
+    # (exp27 isolates grid-entry overhead vs an in-kernel loop on the
+    # same slab DMA pattern).
+    self.stream_loop = bool(stream_loop)
     if shift_mode not in ('window', 'roll'):
       raise ValueError("shift_mode must be window|roll")
     # shift_mode='roll' (value mode only): every shifted load is an
@@ -471,7 +479,8 @@ class PallasExecutor:
         name: stencil.symbol_table[name] for name in stencil.input_names
     }
     single = self.grid * self.grid_m == 1
-    out_dma = self.out_dma and not single
+    stream_loop = self.stream_loop and not single
+    out_dma = (self.out_dma or stream_loop) and not single
     interpret = self.interpret
 
     n_blocks = self.grid
@@ -692,532 +701,540 @@ class PallasExecutor:
           for name in stage_names if name in slot_of
       }
 
-      if mid_blocked:
-        jm = pl.program_id(0)
-        i = pl.program_id(1)
-        n_m = pl.num_programs(0)
-        n = pl.num_programs(1)
+      n = n_blocks
+      total = self.grid_m * n
+
+      def _step(jm, i):
         step = jm * n + i
-        total = n_m * n
-      else:
-        jm = 0
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
-        step = i
-        total = n
 
-      def axis_start(p, blk, lo_, size_, ext_, align):
-        start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
-        if align > 1:
-          # sublane-axis DMA offsets must be provably tile-aligned;
-          # all quantities are multiples of align, the //* proves it
-          start = (start // align) * align
-        return start
+        def axis_start(p, blk, lo_, size_, ext_, align):
+          start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
+          if align > 1:
+            # sublane-axis DMA offsets must be provably tile-aligned;
+            # all quantities are multiples of align, the //* proves it
+            start = (start // align) * align
+          return start
 
-      def in_copy(k, step_i, step_j, slot):
-        src = in_refs[k]
-        ss = axis_start(step_i, b, lo, h, s, self.align0)
-        if mid_blocked:
-          sm = axis_start(step_j, mt, lo_m, m_pad, ext_m, _ALIGN)
-          src = src.at[pl.ds(ss, s), pl.ds(sm, ext_m)]
-        else:
-          src = src.at[pl.ds(ss, s)]
-        return pltpu.make_async_copy(src, slabs[k].at[slot],
-                                     in_sems[k].at[slot])
+        def in_copy(k, step_i, step_j, slot):
+          src = in_refs[k]
+          ss = axis_start(step_i, b, lo, h, s, self.align0)
+          if mid_blocked:
+            sm = axis_start(step_j, mt, lo_m, m_pad, ext_m, _ALIGN)
+            src = src.at[pl.ds(ss, s), pl.ds(sm, ext_m)]
+          else:
+            src = src.at[pl.ds(ss, s)]
+          return pltpu.make_async_copy(src, slabs[k].at[slot],
+                                       in_sems[k].at[slot])
 
-      # rolling slab fill: for 3-D grids (streaming axis is a free
-      # plane stride) consecutive stream windows within a mid tile
-      # overlap by the halo, so interior steps DMA only the NEW b rows
-      # from HBM and copy the tiny overlap VMEM->VMEM from the other
-      # slot — removing the (b+halo)/b read amplification that caps
-      # small-block 3-D kernels (the 256^3 case). Three static classes
-      # (the first window's clamped start skews the overlaps):
-      #   i==1:        overlap 2*lo+hi, DMA b-lo rows at HBM row s
-      #   1<i<n-1:     overlap lo+hi,   DMA b rows    at row i*b+hi
-      #   i==n-1:      overlap lo+2*hi, DMA b-hi rows at row (n-1)*b+hi
-      r_hi = self.hi
-      rolling = (not single and self.align0 == 1 and self.grid >= 3 and
-                 0 < self.plan.halo_lo[dim - 1] + r_hi < b)
-      r_lo = self.plan.halo_lo[dim - 1] if rolling else 0  # unpadded
-      roll_classes = (
-          # (cond_on_target_i, overlap_rows, hbm_row_fn, dma_rows)
-          ('second', 2 * r_lo + r_hi, lambda ii: s, b - r_lo),
-          ('mid', r_lo + r_hi, lambda ii: ii * b + r_hi, b),
-          ('tail', r_lo + 2 * r_hi, lambda ii: ii * b + r_hi, b - r_hi),
-      )
+        # rolling slab fill: for 3-D grids (streaming axis is a free
+        # plane stride) consecutive stream windows within a mid tile
+        # overlap by the halo, so interior steps DMA only the NEW b rows
+        # from HBM and copy the tiny overlap VMEM->VMEM from the other
+        # slot — removing the (b+halo)/b read amplification that caps
+        # small-block 3-D kernels (the 256^3 case). Three static classes
+        # (the first window's clamped start skews the overlaps):
+        #   i==1:        overlap 2*lo+hi, DMA b-lo rows at HBM row s
+        #   1<i<n-1:     overlap lo+hi,   DMA b rows    at row i*b+hi
+        #   i==n-1:      overlap lo+2*hi, DMA b-hi rows at row (n-1)*b+hi
+        r_hi = self.hi
+        rolling = (not single and self.align0 == 1 and self.grid >= 3 and
+                   0 < self.plan.halo_lo[dim - 1] + r_hi < b)
+        r_lo = self.plan.halo_lo[dim - 1] if rolling else 0  # unpadded
+        roll_classes = (
+            # (cond_on_target_i, overlap_rows, hbm_row_fn, dma_rows)
+            ('second', 2 * r_lo + r_hi, lambda ii: s, b - r_lo),
+            ('mid', r_lo + r_hi, lambda ii: ii * b + r_hi, b),
+            ('tail', r_lo + 2 * r_hi, lambda ii: ii * b + r_hi, b - r_hi),
+        )
 
-      def roll_cond(kind, ii):
-        if kind == 'second':
-          return ii == 1
-        if kind == 'mid':
-          return jnp.logical_and(ii > 1, ii < n - 1)
-        return ii == n - 1  # tail
+        def roll_cond(kind, ii):
+          if kind == 'second':
+            return ii == 1
+          if kind == 'mid':
+            return jnp.logical_and(ii > 1, ii < n - 1)
+          return ii == n - 1  # tail
 
-      def partial_copy(k, kind, ov, row_fn, rows, ii, slot_):
-        src = in_refs[k]
-        if mid_blocked:
-          sm = axis_start(jm, mt, lo_m, m_pad, ext_m, _ALIGN)
-          src = src.at[pl.ds(row_fn(ii), rows), pl.ds(sm, ext_m)]
-        else:
-          src = src.at[pl.ds(row_fn(ii), rows)]
-        return pltpu.make_async_copy(
-            src, slabs[k].at[slot_, pl.ds(ov, rows)],
-            in_sems[k].at[slot_])
+        def partial_copy(k, kind, ov, row_fn, rows, ii, slot_):
+          src = in_refs[k]
+          if mid_blocked:
+            sm = axis_start(jm, mt, lo_m, m_pad, ext_m, _ALIGN)
+            src = src.at[pl.ds(row_fn(ii), rows), pl.ds(sm, ext_m)]
+          else:
+            src = src.at[pl.ds(row_fn(ii), rows)]
+          return pltpu.make_async_copy(
+              src, slabs[k].at[slot_, pl.ds(ov, rows)],
+              in_sems[k].at[slot_])
 
-      if single:
-        # full copies: no ref slicing, so no alignment concerns
-        for k in range(n_in):
-          pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
-                                in_sems[k].at[0]).start()
-        for k in range(n_in):
-          pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
-                                in_sems[k].at[0]).wait()
-        slot = 0
-      else:
-        # look-ahead order: streaming blocks first within a mid tile,
-        # then the next mid tile (row-major over the grid)
-        if mid_blocked:
-          nxt_i = jnp.where(i + 1 < n, i + 1, 0)
-          nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
-        else:
-          nxt_i, nxt_j = i + 1, 0
-        slot = step % 2
-        nxt_slot = (step + 1) % 2
-
-        @pl.when(step == 0)
-        def _():
+        if single:
+          # full copies: no ref slicing, so no alignment concerns
           for k in range(n_in):
-            in_copy(k, i, jm, 0).start()
+            pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
+                                  in_sems[k].at[0]).start()
+          for k in range(n_in):
+            pltpu.make_async_copy(in_refs[k], slabs[k].at[0],
+                                  in_sems[k].at[0]).wait()
+          slot = 0
+        else:
+          # look-ahead order: streaming blocks first within a mid tile,
+          # then the next mid tile (row-major over the grid)
+          if mid_blocked:
+            nxt_i = jnp.where(i + 1 < n, i + 1, 0)
+            nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
+          else:
+            nxt_i, nxt_j = i + 1, 0
+          slot = step % 2
+          nxt_slot = (step + 1) % 2
 
-        if rolling:
-          # ORDER MATTERS: wait own fill and copy the overlap out of
-          # the previous slab BEFORE starting the next fill — the next
-          # fill overwrites exactly that slab's rows.
-          @pl.when(i == 0)
+          @pl.when(step == 0)
           def _():
+            for k in range(n_in):
+              in_copy(k, i, jm, 0).start()
+
+          if rolling:
+            # ORDER MATTERS: wait own fill and copy the overlap out of
+            # the previous slab BEFORE starting the next fill — the next
+            # fill overwrites exactly that slab's rows.
+            @pl.when(i == 0)
+            def _():
+              for k in range(n_in):
+                in_copy(k, i, jm, slot).wait()
+            for kind, ov, row_fn, rows in roll_classes:
+              @pl.when(roll_cond(kind, i))
+              def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
+                for k in range(n_in):
+                  partial_copy(k, kind, ov, row_fn, rows, i, slot).wait()
+                # overlap rows come from the tail of the previous slab
+                # (final: its fill was awaited last step; nothing writes
+                # a slab between its wait and this copy)
+                for k in range(n_in):
+                  slabs[k][slot, 0:ov] = slabs[k][1 - slot, s - ov:s]
+
+            for kind, ov, row_fn, rows in roll_classes:
+              @pl.when(jnp.logical_and(step + 1 < total,
+                                       roll_cond(kind, i + 1)))
+              def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
+                for k in range(n_in):
+                  partial_copy(k, kind, ov, row_fn, rows, i + 1,
+                               nxt_slot).start()
+
+            @pl.when(jnp.logical_and(step + 1 < total, i + 1 == n))
+            def _():
+              for k in range(n_in):
+                in_copy(k, 0, jm + 1, nxt_slot).start()
+          else:
+            @pl.when(step + 1 < total)
+            def _():
+              for k in range(n_in):
+                in_copy(k, nxt_i, nxt_j, nxt_slot).start()
+
             for k in range(n_in):
               in_copy(k, i, jm, slot).wait()
-          for kind, ov, row_fn, rows in roll_classes:
-            @pl.when(roll_cond(kind, i))
-            def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
-              for k in range(n_in):
-                partial_copy(k, kind, ov, row_fn, rows, i, slot).wait()
-              # overlap rows come from the tail of the previous slab
-              # (final: its fill was awaited last step; nothing writes
-              # a slab between its wait and this copy)
-              for k in range(n_in):
-                slabs[k][slot, 0:ov] = slabs[k][1 - slot, s - ov:s]
 
-          for kind, ov, row_fn, rows in roll_classes:
-            @pl.when(jnp.logical_and(step + 1 < total,
-                                     roll_cond(kind, i + 1)))
-            def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
-              for k in range(n_in):
-                partial_copy(k, kind, ov, row_fn, rows, i + 1,
-                             nxt_slot).start()
+        # manual output DMA: each step stores into a double-buffered VMEM
+        # staging slab and copies it to the HBM output ref itself,
+        # bypassing Pallas's output-block pipeline. The slot's previous
+        # copy is awaited two steps later (before overwriting); the last
+        # step drains everything.
+        slot_out = step % 2 if out_dma else 0
 
-          @pl.when(jnp.logical_and(step + 1 < total, i + 1 == n))
-          def _():
-            for k in range(n_in):
-              in_copy(k, 0, jm + 1, nxt_slot).start()
-        else:
-          @pl.when(step + 1 < total)
-          def _():
-            for k in range(n_in):
-              in_copy(k, nxt_i, nxt_j, nxt_slot).start()
-
-          for k in range(n_in):
-            in_copy(k, i, jm, slot).wait()
-
-      # manual output DMA: each step stores into a double-buffered VMEM
-      # staging slab and copies it to the HBM output ref itself,
-      # bypassing Pallas's output-block pipeline. The slot's previous
-      # copy is awaited two steps later (before overwriting); the last
-      # step drains everything.
-      slot_out = step % 2 if out_dma else 0
-
-      def out_copy(k, slot_, ii, jj):
-        dst = out_refs[k]
-        if mid_blocked:
-          dst = dst.at[pl.ds(ii * b, b), pl.ds(jj * mt, mt)]
-        else:
-          dst = dst.at[pl.ds(ii * b, b)]
-        return pltpu.make_async_copy(out_stage[k].at[slot_], dst,
-                                     out_sems[k].at[slot_])
-
-      if out_dma:
-        @pl.when(step >= 2)
-        def _():
-          for k in range(n_out):
-            out_copy(k, slot_out, i, jm).wait()
-
-      def parent_ref(name):
-        if name in stage_refs:
-          return stage_refs[name], ()
-        k = stencil.input_names.index(name)
-        return slabs[k], (slot if not single else 0,)
-
-      params = {
-          name: par_refs[k] for k, name in enumerate(stencil.param_names)
-      }
-
-      # value mode: stage results are jnp values shaped to their valid
-      # region; consumers take static slices of parent values (Mosaic
-      # lowers these to register shifts) instead of re-reading a VMEM
-      # slab. Input slabs are read once and shared across all taps.
-      # Sub-32-bit integer values are kept at their C-promoted width
-      # (i32) throughout — one widen per input, one narrow per output,
-      # zero relayouts at stage boundaries (semantics.wrap_promoted).
-      # Stages in a transposed lane region live in stage_vals_T with
-      # their two axes swapped; layout conversions happen lazily and
-      # are cached.
-      stage_vals: Dict[str, object] = {}
-      stage_vals_T: Dict[str, object] = {}
-      input_vals: Dict[str, object] = {}
-      input_vals_nw: Dict[str, object] = {}
-
-      def parent_val(name):
-        if name in stage_vals:
-          return stage_vals[name], slab_margins[name]
-        if name in stage_vals_T:
-          stage_vals[name] = stage_vals_T[name].T
-          return stage_vals[name], slab_margins[name]
-        if name not in input_vals:
-          k = stencil.input_names.index(name)
-          v = slabs[k][slot if not single else 0]
-          t = input_types[name]
-          if not t.is_float and t.width_in_bits < 32:
-            v = v.astype(semantics.promote(t).np_dtype)
-          input_vals[name] = v
-        return input_vals[name], slab_margins[name]
-
-      def parent_val_nw(name):
-        """Parent value for a NARROW consumer: 16-bit inputs stay at
-        storage width (no promote — the narrow evaluator computes in
-        i16 directly); stage values pass through in whatever width
-        they carry (the evaluator truncates, exact mod 2^16)."""
-        if name in stage_vals or name in stage_vals_T:
-          return parent_val(name)
-        if name not in input_vals_nw:
-          k = stencil.input_names.index(name)
-          input_vals_nw[name] = slabs[k][slot if not single else 0]
-        return input_vals_nw[name], slab_margins[name]
-
-      def parent_val_full(name):
-        """Parent value at FULL slab extent (roll mode: stage values
-        are never trimmed; shifted reads rotate in place)."""
-        if name in stage_vals:
-          return stage_vals[name]
-        return parent_val(name)[0]  # inputs are full-extent already
-
-      def parent_val_T(name):
-        """Parent value in transposed (lane-major) layout."""
-        if name not in stage_vals_T:
-          stage_vals_T[name] = parent_val(name)[0].T
-        return stage_vals_T[name], slab_margins[name]
-
-      def parent_val_full_T(name):
-        """Parent value at FULL slab extent, transposed (roll-mode
-        hybrid regions)."""
-        if name not in stage_vals_T:
-          stage_vals_T[name] = parent_val_full(name).T
-        return stage_vals_T[name]
-
-      def store_value(k, name, bases, val=None, window=None):
-        """Store the valid region of an output stage value into the
-        output block; ``bases`` maps blocked axis -> (static slab base,
-        block extent). Unblocked axes store their whole interior.
-        ``window=(off, length)`` restricts to an axis-0 sub-range of
-        the stage's region (chunked mode), with ``val`` holding just
-        those rows."""
-        if val is None:
-          val = parent_val(name)[0]  # lazily un-transposes region outputs
-        store_dt = stencil.symbol_table[name].np_dtype
-        m = slab_margins[name]
-        out_idx, val_idx = [], []
-        for a in range(dim):
-          if a in bases:
-            base, blk = bases[a]
-            jlo = max(0, m[a][0] - base)
-            jhi = min(blk, size[a] - m[a][1] - base)
-            if jlo >= jhi:
-              return  # whole block is globally-invalid border
-            v0 = base - m[a][0] + jlo
-            if a == 0 and window is not None:
-              off, length = window
-              wv0 = max(v0, off)
-              wv1 = min(v0 + (jhi - jlo), off + length)
-              if wv0 >= wv1:
-                return  # chunk misses this block entirely
-              out_idx.append(slice(jlo + (wv0 - v0), jlo + (wv1 - v0)))
-              val_idx.append(slice(wv0 - off, wv1 - off))
-            else:
-              out_idx.append(slice(jlo, jhi))
-              val_idx.append(slice(v0, v0 + (jhi - jlo)))
+        def out_copy(k, slot_, ii, jj):
+          dst = out_refs[k]
+          if mid_blocked:
+            dst = dst.at[pl.ds(ii * b, b), pl.ds(jj * mt, mt)]
           else:
-            out_idx.append(slice(m[a][0], size[a] - m[a][1]))
-            val_idx.append(slice(None))
-        val = val[tuple(val_idx)]
-        if val.dtype != store_dt:
-          # promoted-width integer value -> storage width; exact: the
-          # value is already wrapped into the storage type's range
-          val = val.astype(store_dt)
+            dst = dst.at[pl.ds(ii * b, b)]
+          return pltpu.make_async_copy(out_stage[k].at[slot_], dst,
+                                       out_sems[k].at[slot_])
+
         if out_dma:
-          out_stage[k][(slot_out,) + tuple(out_idx)] = val
-        else:
-          out_refs[k][tuple(out_idx)] = val
+          @pl.when(step >= 2)
+          def _():
+            for k in range(n_out):
+              out_copy(k, slot_out, i, jm).wait()
 
-      def class_cond(kind, p, nb):
-        if kind in (None, 'all'):
-          return None
-        if kind == 'first':
-          return p == 0
-        if kind == 'mid':
-          return jnp.logical_and(p > 0, p < nb - 1)
-        return p == nb - 1  # tail
+        def parent_ref(name):
+          if name in stage_refs:
+            return stage_refs[name], ()
+          k = stencil.input_names.index(name)
+          return slabs[k], (slot if not single else 0,)
 
-      def store_all_classes(k, name, val=None, window=None):
-        """Emit the (stream x mid) block-class-conditional stores of
-        one output value (or an axis-0 chunk of it)."""
-        for cs_kind, cs_base in stream_classes:
-          for cm_kind, cm_base in mid_classes:
-            bases = {0: (cs_base, b)}
-            if mid_blocked:
-              bases[1] = (cm_base, mt)
-            conds = [
-                c for c in (class_cond(cs_kind, i, n),
-                            class_cond(cm_kind, jm, self.grid_m))
-                if c is not None
-            ]
-            if not conds:
-              store_value(k, name, bases, val, window)
-              continue
-            cond = conds[0]
-            for extra in conds[1:]:
-              cond = jnp.logical_and(cond, extra)
+        params = {
+            name: par_refs[k] for k, name in enumerate(stencil.param_names)
+        }
 
-            @pl.when(cond)
-            def _(k=k, name=name, bases=bases, val=val, window=window):
-              store_value(k, name, bases, val, window)
+        # value mode: stage results are jnp values shaped to their valid
+        # region; consumers take static slices of parent values (Mosaic
+        # lowers these to register shifts) instead of re-reading a VMEM
+        # slab. Input slabs are read once and shared across all taps.
+        # Sub-32-bit integer values are kept at their C-promoted width
+        # (i32) throughout — one widen per input, one narrow per output,
+        # zero relayouts at stage boundaries (semantics.wrap_promoted).
+        # Stages in a transposed lane region live in stage_vals_T with
+        # their two axes swapped; layout conversions happen lazily and
+        # are cached.
+        stage_vals: Dict[str, object] = {}
+        stage_vals_T: Dict[str, object] = {}
+        input_vals: Dict[str, object] = {}
+        input_vals_nw: Dict[str, object] = {}
 
-      for stage in plan.stages:
-        st_idx = stage.tensor.st_idx
-        region = _region(stage.name)
+        def parent_val(name):
+          if name in stage_vals:
+            return stage_vals[name], slab_margins[name]
+          if name in stage_vals_T:
+            stage_vals[name] = stage_vals_T[name].T
+            return stage_vals[name], slab_margins[name]
+          if name not in input_vals:
+            k = stencil.input_names.index(name)
+            v = slabs[k][slot if not single else 0]
+            t = input_types[name]
+            if not t.is_float and t.width_in_bits < 32:
+              v = v.astype(semantics.promote(t).np_dtype)
+            input_vals[name] = v
+          return input_vals[name], slab_margins[name]
 
-        if value_mode and roll_mode and stage.name in transposed:
-          # hybrid region stage (2-D): operands arrive transposed at
-          # full slab extent; a lane-logical shift is an axis-0 roll
-          # of the transposed value, a sublane-logical shift a lane
-          # roll. Wrap garbage lands in globally-invalid border cells
-          # either way (the same exemptions as plain roll mode).
-          def load(ref: ir.Ref, _st=st_idx):
-            if ref.name in stencil.param_names:
-              return params[ref.name][tuple(ref.idx)]
-            v = parent_val_full_T(ref.name)
-            lane_delta = ref.idx[0] - _st[0]
-            if lane_delta:
-              v = axis_roll(v, lane_delta, 0)
-            sub_delta = ref.idx[1] - _st[1]
-            if sub_delta:
-              v = lane_roll(v, sub_delta)
-            return v
-        elif value_mode and roll_mode:
-          def load(ref: ir.Ref, _st=st_idx):
-            if ref.name in stencil.param_names:
-              return params[ref.name][tuple(ref.idx)]
-            v = parent_val_full(ref.name)
-            for a in range(dim - 1):
-              d = dim - 1 - a
-              delta = ref.idx[d] - _st[d]
-              if delta:
-                v = axis_roll(v, delta, a)
-            lane_delta = ref.idx[0] - _st[0]
-            if lane_delta:
-              v = lane_roll(v, lane_delta)
-            return v
-        elif value_mode and stage.name in transposed:
-          # transposed-region stage: identical slicing math with the
-          # two axes walked in swapped order against lane-major values
-          def load(ref: ir.Ref, _st=st_idx, _region=region):
-            if ref.name in stencil.param_names:
-              return params[ref.name][tuple(ref.idx)]
-            src, p_m = parent_val_T(ref.name)
-            idx = []
-            for a in (1, 0):
-              d = dim - 1 - a
-              delta = ref.idx[d] - _st[d]
-              idx.append(slice(_region[a].start + delta - p_m[a][0],
-                               _region[a].stop + delta - p_m[a][0]))
-            return src[tuple(idx)]
-        elif value_mode:
-          def load(ref: ir.Ref, _st=st_idx, _region=region,
-                   _pv=(parent_val_nw if stage.name in narrow16
-                        else parent_val)):
-            if ref.name in stencil.param_names:
-              return params[ref.name][tuple(ref.idx)]
-            src, p_m = _pv(ref.name)
-            idx = []
-            for a in range(n_margin_axes):
-              d = dim - 1 - a
-              delta = ref.idx[d] - _st[d]
-              idx.append(slice(_region[a].start + delta - p_m[a][0],
-                               _region[a].stop + delta - p_m[a][0]))
-            if rotate_lanes:
-              idx.append(slice(None))
-            value = src[tuple(idx)]
-            if rotate_lanes:
+        def parent_val_nw(name):
+          """Parent value for a NARROW consumer: 16-bit inputs stay at
+          storage width (no promote — the narrow evaluator computes in
+          i16 directly); stage values pass through in whatever width
+          they carry (the evaluator truncates, exact mod 2^16)."""
+          if name in stage_vals or name in stage_vals_T:
+            return parent_val(name)
+          if name not in input_vals_nw:
+            k = stencil.input_names.index(name)
+            input_vals_nw[name] = slabs[k][slot if not single else 0]
+          return input_vals_nw[name], slab_margins[name]
+
+        def parent_val_full(name):
+          """Parent value at FULL slab extent (roll mode: stage values
+          are never trimmed; shifted reads rotate in place)."""
+          if name in stage_vals:
+            return stage_vals[name]
+          return parent_val(name)[0]  # inputs are full-extent already
+
+        def parent_val_T(name):
+          """Parent value in transposed (lane-major) layout."""
+          if name not in stage_vals_T:
+            stage_vals_T[name] = parent_val(name)[0].T
+          return stage_vals_T[name], slab_margins[name]
+
+        def parent_val_full_T(name):
+          """Parent value at FULL slab extent, transposed (roll-mode
+          hybrid regions)."""
+          if name not in stage_vals_T:
+            stage_vals_T[name] = parent_val_full(name).T
+          return stage_vals_T[name]
+
+        def store_value(k, name, bases, val=None, window=None):
+          """Store the valid region of an output stage value into the
+          output block; ``bases`` maps blocked axis -> (static slab base,
+          block extent). Unblocked axes store their whole interior.
+          ``window=(off, length)`` restricts to an axis-0 sub-range of
+          the stage's region (chunked mode), with ``val`` holding just
+          those rows."""
+          if val is None:
+            val = parent_val(name)[0]  # lazily un-transposes region outputs
+          store_dt = stencil.symbol_table[name].np_dtype
+          m = slab_margins[name]
+          out_idx, val_idx = [], []
+          for a in range(dim):
+            if a in bases:
+              base, blk = bases[a]
+              jlo = max(0, m[a][0] - base)
+              jhi = min(blk, size[a] - m[a][1] - base)
+              if jlo >= jhi:
+                return  # whole block is globally-invalid border
+              v0 = base - m[a][0] + jlo
+              if a == 0 and window is not None:
+                off, length = window
+                wv0 = max(v0, off)
+                wv1 = min(v0 + (jhi - jlo), off + length)
+                if wv0 >= wv1:
+                  return  # chunk misses this block entirely
+                out_idx.append(slice(jlo + (wv0 - v0), jlo + (wv1 - v0)))
+                val_idx.append(slice(wv0 - off, wv1 - off))
+              else:
+                out_idx.append(slice(jlo, jhi))
+                val_idx.append(slice(v0, v0 + (jhi - jlo)))
+            else:
+              out_idx.append(slice(m[a][0], size[a] - m[a][1]))
+              val_idx.append(slice(None))
+          val = val[tuple(val_idx)]
+          if val.dtype != store_dt:
+            # promoted-width integer value -> storage width; exact: the
+            # value is already wrapped into the storage type's range
+            val = val.astype(store_dt)
+          if out_dma:
+            out_stage[k][(slot_out,) + tuple(out_idx)] = val
+          else:
+            out_refs[k][tuple(out_idx)] = val
+
+        def class_cond(kind, p, nb):
+          if kind in (None, 'all'):
+            return None
+          if kind == 'first':
+            return p == 0
+          if kind == 'mid':
+            return jnp.logical_and(p > 0, p < nb - 1)
+          return p == nb - 1  # tail
+
+        def store_all_classes(k, name, val=None, window=None):
+          """Emit the (stream x mid) block-class-conditional stores of
+          one output value (or an axis-0 chunk of it)."""
+          for cs_kind, cs_base in stream_classes:
+            for cm_kind, cm_base in mid_classes:
+              bases = {0: (cs_base, b)}
+              if mid_blocked:
+                bases[1] = (cm_base, mt)
+              conds = [
+                  c for c in (class_cond(cs_kind, i, n),
+                              class_cond(cm_kind, jm, self.grid_m))
+                  if c is not None
+              ]
+              if not conds:
+                store_value(k, name, bases, val, window)
+                continue
+              cond = conds[0]
+              for extra in conds[1:]:
+                cond = jnp.logical_and(cond, extra)
+
+              @pl.when(cond)
+              def _(k=k, name=name, bases=bases, val=val, window=window):
+                store_value(k, name, bases, val, window)
+
+        for stage in plan.stages:
+          st_idx = stage.tensor.st_idx
+          region = _region(stage.name)
+
+          if value_mode and roll_mode and stage.name in transposed:
+            # hybrid region stage (2-D): operands arrive transposed at
+            # full slab extent; a lane-logical shift is an axis-0 roll
+            # of the transposed value, a sublane-logical shift a lane
+            # roll. Wrap garbage lands in globally-invalid border cells
+            # either way (the same exemptions as plain roll mode).
+            def load(ref: ir.Ref, _st=st_idx):
+              if ref.name in stencil.param_names:
+                return params[ref.name][tuple(ref.idx)]
+              v = parent_val_full_T(ref.name)
               lane_delta = ref.idx[0] - _st[0]
               if lane_delta:
-                value = lane_roll(value, lane_delta)
-            return value
-        else:
-          def load(ref: ir.Ref, _st=st_idx, _region=region, _off=0,
-                   _len=None):
-            if ref.name in stencil.param_names:
-              return params[ref.name][tuple(ref.idx)]
-            src, lead = parent_ref(ref.name)
-            idx = list(lead)
-            for a in range(n_margin_axes):
-              d = dim - 1 - a
-              delta = ref.idx[d] - _st[d]
-              start = _region[a].start + delta
-              stop = _region[a].stop + delta
-              if a == 0 and _len is not None:
-                start += _off
-                stop = start + _len
-              idx.append(slice(start, stop))
-            if rotate_lanes:
-              idx.append(slice(None))
-            value = src[tuple(idx)]
-            if rotate_lanes:
+                v = axis_roll(v, lane_delta, 0)
+              sub_delta = ref.idx[1] - _st[1]
+              if sub_delta:
+                v = lane_roll(v, sub_delta)
+              return v
+          elif value_mode and roll_mode:
+            def load(ref: ir.Ref, _st=st_idx):
+              if ref.name in stencil.param_names:
+                return params[ref.name][tuple(ref.idx)]
+              v = parent_val_full(ref.name)
+              for a in range(dim - 1):
+                d = dim - 1 - a
+                delta = ref.idx[d] - _st[d]
+                if delta:
+                  v = axis_roll(v, delta, a)
               lane_delta = ref.idx[0] - _st[0]
               if lane_delta:
-                value = lane_roll(value, lane_delta)
-            return value
-
-        def param(name, idx):
-          return params[name][idx]
-
-        if value_mode:
-          is_narrow = stage.name in narrow16
-          evaluator = semantics.Evaluator(jnp, load, param=param,
-                                          fast_int_div=True,
-                                          fast_rsqrt=True,
-                                          narrow=is_narrow)
-          value, _ = evaluator.eval_stmt(stage.tensor)
-          if is_narrow:
-            # value is already wrapped mod 2^16 by construction; carry
-            # it in the declared type's signedness so non-ring
-            # consumers of a 16-bit stage extend it correctly. For
-            # >16-bit declared stages any 16-bit form works (consumers
-            # were proven to need the value mod 2^16 only).
-            rep = stage.dtype.np_dtype \
-                if stage.dtype.width_in_bits == 16 else np.dtype('int16')
-            if getattr(value, 'dtype', None) != rep:
-              value = jnp.asarray(value).astype(rep)
+                v = lane_roll(v, lane_delta)
+              return v
+          elif value_mode and stage.name in transposed:
+            # transposed-region stage: identical slicing math with the
+            # two axes walked in swapped order against lane-major values
+            def load(ref: ir.Ref, _st=st_idx, _region=region):
+              if ref.name in stencil.param_names:
+                return params[ref.name][tuple(ref.idx)]
+              src, p_m = parent_val_T(ref.name)
+              idx = []
+              for a in (1, 0):
+                d = dim - 1 - a
+                delta = ref.idx[d] - _st[d]
+                idx.append(slice(_region[a].start + delta - p_m[a][0],
+                                 _region[a].stop + delta - p_m[a][0]))
+              return src[tuple(idx)]
+          elif value_mode:
+            def load(ref: ir.Ref, _st=st_idx, _region=region,
+                     _pv=(parent_val_nw if stage.name in narrow16
+                          else parent_val)):
+              if ref.name in stencil.param_names:
+                return params[ref.name][tuple(ref.idx)]
+              src, p_m = _pv(ref.name)
+              idx = []
+              for a in range(n_margin_axes):
+                d = dim - 1 - a
+                delta = ref.idx[d] - _st[d]
+                idx.append(slice(_region[a].start + delta - p_m[a][0],
+                                 _region[a].stop + delta - p_m[a][0]))
+              if rotate_lanes:
+                idx.append(slice(None))
+              value = src[tuple(idx)]
+              if rotate_lanes:
+                lane_delta = ref.idx[0] - _st[0]
+                if lane_delta:
+                  value = lane_roll(value, lane_delta)
+              return value
           else:
-            value = semantics.wrap_promoted(
-                jnp, value, stage.dtype,
-                wrap_free.get(stage.name, False))
-          if stage.name in transposed:
-            stage_vals_T[stage.name] = value
+            def load(ref: ir.Ref, _st=st_idx, _region=region, _off=0,
+                     _len=None):
+              if ref.name in stencil.param_names:
+                return params[ref.name][tuple(ref.idx)]
+              src, lead = parent_ref(ref.name)
+              idx = list(lead)
+              for a in range(n_margin_axes):
+                d = dim - 1 - a
+                delta = ref.idx[d] - _st[d]
+                start = _region[a].start + delta
+                stop = _region[a].stop + delta
+                if a == 0 and _len is not None:
+                  start += _off
+                  stop = start + _len
+                idx.append(slice(start, stop))
+              if rotate_lanes:
+                idx.append(slice(None))
+              value = src[tuple(idx)]
+              if rotate_lanes:
+                lane_delta = ref.idx[0] - _st[0]
+                if lane_delta:
+                  value = lane_roll(value, lane_delta)
+              return value
+
+          def param(name, idx):
+            return params[name][idx]
+
+          if value_mode:
+            is_narrow = stage.name in narrow16
+            evaluator = semantics.Evaluator(jnp, load, param=param,
+                                            fast_int_div=True,
+                                            fast_rsqrt=True,
+                                            narrow=is_narrow)
+            value, _ = evaluator.eval_stmt(stage.tensor)
+            if is_narrow:
+              # value is already wrapped mod 2^16 by construction; carry
+              # it in the declared type's signedness so non-ring
+              # consumers of a 16-bit stage extend it correctly. For
+              # >16-bit declared stages any 16-bit form works (consumers
+              # were proven to need the value mod 2^16 only).
+              rep = stage.dtype.np_dtype \
+                  if stage.dtype.width_in_bits == 16 else np.dtype('int16')
+              if getattr(value, 'dtype', None) != rep:
+                value = jnp.asarray(value).astype(rep)
+            else:
+              value = semantics.wrap_promoted(
+                  jnp, value, stage.dtype,
+                  wrap_free.get(stage.name, False))
+            if stage.name in transposed:
+              stage_vals_T[stage.name] = value
+            else:
+              stage_vals[stage.name] = value
+          elif chunk is not None:
+            # chunked evaluation: sub-ranges of the region's axis 0, so
+            # Mosaic's live fold temporaries are chunk-sized; childless
+            # outputs store each chunk straight into the output block
+            # (no slab slot at all)
+            direct = stage.name in direct_outs
+            extent = region[0].stop - region[0].start
+            for off in range(0, extent, chunk):
+              clen = min(chunk, extent - off)
+
+              def c_load(ref: ir.Ref, _off=off, _len=clen, _load=load):
+                return _load(ref, _off=_off, _len=_len)
+
+              evaluator = semantics.Evaluator(jnp, c_load, param=param,
+                                              fast_int_div=True,
+                                              fast_rsqrt=True)
+              value, _ = evaluator.eval_stmt(stage.tensor)
+              value = semantics.wrap(jnp, value, stage.dtype)
+              if direct:
+                store_all_classes(stencil.output_names.index(stage.name),
+                                  stage.name, val=value,
+                                  window=(off, clen))
+              else:
+                sub = (slice(region[0].start + off,
+                             region[0].start + off + clen),) + region[1:]
+                stage_refs[stage.name][sub] = value
+            if not direct and stage.name in stencil.output_names:
+              # the value-mode store path handles (possibly mid-blocked)
+              # output stores; feed it the finished slab region
+              stage_vals[stage.name] = stage_refs[stage.name][region]
           else:
-            stage_vals[stage.name] = value
-        elif chunk is not None:
-          # chunked evaluation: sub-ranges of the region's axis 0, so
-          # Mosaic's live fold temporaries are chunk-sized; childless
-          # outputs store each chunk straight into the output block
-          # (no slab slot at all)
-          direct = stage.name in direct_outs
-          extent = region[0].stop - region[0].start
-          for off in range(0, extent, chunk):
-            clen = min(chunk, extent - off)
-
-            def c_load(ref: ir.Ref, _off=off, _len=clen, _load=load):
-              return _load(ref, _off=_off, _len=_len)
-
-            evaluator = semantics.Evaluator(jnp, c_load, param=param,
+            evaluator = semantics.Evaluator(jnp, load, param=param,
                                             fast_int_div=True,
                                             fast_rsqrt=True)
             value, _ = evaluator.eval_stmt(stage.tensor)
-            value = semantics.wrap(jnp, value, stage.dtype)
-            if direct:
-              store_all_classes(stencil.output_names.index(stage.name),
-                                stage.name, val=value,
-                                window=(off, clen))
-            else:
-              sub = (slice(region[0].start + off,
-                           region[0].start + off + clen),) + region[1:]
-              stage_refs[stage.name][sub] = value
-          if not direct and stage.name in stencil.output_names:
-            # the value-mode store path handles (possibly mid-blocked)
-            # output stores; feed it the finished slab region
-            stage_vals[stage.name] = stage_refs[stage.name][region]
-        else:
-          evaluator = semantics.Evaluator(jnp, load, param=param,
-                                          fast_int_div=True,
-                                          fast_rsqrt=True)
-          value, _ = evaluator.eval_stmt(stage.tensor)
-          stage_refs[stage.name][region] = semantics.wrap(
-              jnp, value, stage.dtype)
+            stage_refs[stage.name][region] = semantics.wrap(
+                jnp, value, stage.dtype)
 
-      # un-transpose region outputs at TOP level: the conditional store
-      # branches below share parent_val's cache, and a transpose first
-      # materialized inside one pl.when branch would leak into the
-      # others as a captured constant
-      for name in stencil.output_names:
-        if name in transposed:
-          parent_val(name)
+        # un-transpose region outputs at TOP level: the conditional store
+        # branches below share parent_val's cache, and a transpose first
+        # materialized inside one pl.when branch would leak into the
+        # others as a captured constant
+        for name in stencil.output_names:
+          if name in transposed:
+            parent_val(name)
 
-      def full_store(k, val):
+        def full_store(k, val):
+          if out_dma:
+            out_stage[k][slot_out] = val
+          else:
+            out_refs[k][:] = val
+
+        for k, name in enumerate(stencil.output_names):
+          if value_mode or chunk is not None:
+            if name not in direct_outs:
+              # roll-mode values are full slab extent; the store math
+              # expects the region-shaped view
+              val = stage_vals[name][_region(name)] if roll_mode else None
+              store_all_classes(k, name, val=val)
+            continue
+          src = stage_refs[name]
+          if single:
+            out_refs[k][:] = src[:]
+            continue
+          # output block row j = slab row base + j; base is static per
+          # block class, so these are plain static slices
+          if base_first == base_mid == base_tail:
+            full_store(k, src[base_mid:base_mid + b])
+            continue
+
+          @pl.when(i == 0)
+          def _(k=k, src=src):
+            full_store(k, src[base_first:base_first + b])
+
+          @pl.when(jnp.logical_and(i > 0, i < n - 1))
+          def _(k=k, src=src):
+            full_store(k, src[base_mid:base_mid + b])
+
+          @pl.when(jnp.logical_and(i == n - 1, n > 1))
+          def _(k=k, src=src):
+            full_store(k, src[base_tail:base_tail + b])
+
         if out_dma:
-          out_stage[k][slot_out] = val
-        else:
-          out_refs[k][:] = val
-
-      for k, name in enumerate(stencil.output_names):
-        if value_mode or chunk is not None:
-          if name not in direct_outs:
-            # roll-mode values are full slab extent; the store math
-            # expects the region-shaped view
-            val = stage_vals[name][_region(name)] if roll_mode else None
-            store_all_classes(k, name, val=val)
-          continue
-        src = stage_refs[name]
-        if single:
-          out_refs[k][:] = src[:]
-          continue
-        # output block row j = slab row base + j; base is static per
-        # block class, so these are plain static slices
-        if base_first == base_mid == base_tail:
-          full_store(k, src[base_mid:base_mid + b])
-          continue
-
-        @pl.when(i == 0)
-        def _(k=k, src=src):
-          full_store(k, src[base_first:base_first + b])
-
-        @pl.when(jnp.logical_and(i > 0, i < n - 1))
-        def _(k=k, src=src):
-          full_store(k, src[base_mid:base_mid + b])
-
-        @pl.when(jnp.logical_and(i == n - 1, n > 1))
-        def _(k=k, src=src):
-          full_store(k, src[base_tail:base_tail + b])
-
-      if out_dma:
-        for k in range(n_out):
-          out_copy(k, slot_out, i, jm).start()
-
-        @pl.when(step == total - 1)
-        def _():
-          if total > 1:  # the previous step's copy is still in flight
-            for k in range(n_out):
-              out_copy(k, 1 - slot_out, i, jm).wait()
           for k in range(n_out):
-            out_copy(k, slot_out, i, jm).wait()
+            out_copy(k, slot_out, i, jm).start()
 
-    grid = ((self.grid_m, self.grid) if mid_blocked else (self.grid,))
+          @pl.when(step == total - 1)
+          def _():
+            if total > 1:  # the previous step's copy is still in flight
+              for k in range(n_out):
+                out_copy(k, 1 - slot_out, i, jm).wait()
+            for k in range(n_out):
+              out_copy(k, slot_out, i, jm).wait()
+
+      if stream_loop:
+        from jax import lax
+        if mid_blocked:
+          lax.fori_loop(
+              0, total,
+              lambda s_, c: (_step(s_ // n, lax.rem(s_, n)), c)[1], 0)
+        else:
+          lax.fori_loop(0, n, lambda s_, c: (_step(0, s_), c)[1], 0)
+      elif mid_blocked:
+        _step(pl.program_id(0), pl.program_id(1))
+      else:
+        _step(0, pl.program_id(0))
+
+    if stream_loop:
+      grid = ()  # one invocation; _step loops over all blocks inside
+    else:
+      grid = ((self.grid_m, self.grid) if mid_blocked else (self.grid,))
     # inputs pinned to HBM and DMA'd manually (blocked specs cannot
     # express overlapping halo windows)
     hbm = pl.ANY if interpret else pltpu.HBM
