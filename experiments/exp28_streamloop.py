@@ -1,0 +1,104 @@
+"""Round-3 experiment 28: stream_loop on the real kernels.
+
+exp27 isolates Pallas grid-entry overhead synthetically; this runs the
+REAL fused executors with stream_loop=True (one kernel invocation,
+in-kernel fori_loop over all blocks, out_dma staging) against the
+grid-stepped seeds:
+
+  - 256^3 jacobi3d, mid=128 (the ~2us/step wall: 128 grid steps)
+  - 2-D spot checks (blur roll 512-block; erosion hybrid) to see the
+    fixed-cost delta where steps are few/cheap
+
+Run ON TPU (alone): python experiments/exp28_streamloop.py
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+  import jax
+  from soda_tpu import corpus
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import (MidTiledPallasExecutor,
+                                              PallasExecutor)
+  from soda_tpu.profiling import (chain_input_index, peak_bandwidth,
+                                  slope_time, stream_bytes)
+
+  peak = peak_bandwidth(jax.devices()[0])
+  log('device: %s peak %.0f' % (jax.devices()[0], peak))
+
+  def run(tag, stencil, shape, build):
+    try:
+      inputs = reference.make_test_inputs(stencil, shape)
+      want = reference.run(stencil, inputs)
+      region = reference.output_valid_slices(stencil, shape)
+      ex = build()
+      args = list(ex.prepare(inputs))
+      in_b, out_b = stream_bytes(stencil, shape)
+      dt, cs = slope_time(ex.fn, args, chain_input_index(stencil),
+                          (in_b + out_b) / (peak * 1e9))
+      frac = (in_b + out_b) / dt / 1e9 / peak
+      out0 = stencil.output_names[0]
+      g = np.asarray(ex(inputs)[out0])[region]
+      w = want[out0][region]
+      if stencil.symbol_table[out0].is_float:
+        err = np.max(np.abs((w - g) / np.maximum(np.abs(w), 1e-30)))
+        ok = err < 1e-5
+      else:
+        err = np.max(np.abs(w.astype(np.int64) - g.astype(np.int64)))
+        ok = err == 0
+      log('>>> %-34s %.3f ms roofline=%.3f err=%.2g %s' %
+          (tag, dt * 1e3, frac, err, 'OK' if ok else 'FAIL'))
+    except Exception as e:  # noqa: BLE001
+      log('%-34s FAILED: %s' % (tag, str(e).splitlines()[0][:120]))
+
+  # 256^3 jacobi3d: the target workload
+  st3 = corpus.build('jacobi3d', tile_size=(256, 256, 0))
+  shape3 = (256, 256, 256)
+  for tag, kw in [
+      ('jacobi3d mid=128 grid (seed)', {}),
+      ('jacobi3d mid=128 out_dma', dict(out_dma=True)),
+      ('jacobi3d mid=128 stream_loop', dict(stream_loop=True)),
+      ('jacobi3d mid=128 loop+roll',
+       dict(stream_loop=True, stage_mode='value', shift_mode='roll')),
+  ]:
+    run(tag, st3, shape3,
+        lambda kw=kw: MidTiledPallasExecutor(st3, shape3, mid_tile=128,
+                                             **kw))
+
+  # 2-D spots: blur (roll seed, 512-row blocks) + erosion hybrid
+  stb = corpus.build('blur', tile_size=(2048, 0))
+  shapeb = (8192, 2048)
+  for tag, kw in [
+      ('blur roll b512 grid (seed)', {}),
+      ('blur roll b512 stream_loop', dict(stream_loop=True)),
+  ]:
+    run(tag, stb, shapeb,
+        lambda kw=kw: PallasExecutor(
+            stb, shapeb, block_rows=512, stage_mode='value',
+            shift_mode='roll', **kw))
+
+  ste = corpus.build('erosion', tile_size=(2048, 0),
+                     optimizations={'computation-reuse': 'greedy'})
+  shapee = (8192, 2048)
+  for tag, kw in [
+      ('erosion hybrid b256 grid (seed)', {}),
+      ('erosion hybrid b256 stream_loop', dict(stream_loop=True)),
+  ]:
+    run(tag, ste, shapee,
+        lambda kw=kw: PallasExecutor(
+            ste, shapee, block_rows=256, stage_mode='value',
+            shift_mode='roll', transpose_lanes='on', **kw))
+
+
+if __name__ == '__main__':
+  main()
