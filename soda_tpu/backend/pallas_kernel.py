@@ -258,8 +258,12 @@ class PallasExecutor:
     # staging for outputs). Candidate for the ~2us fixed cost per
     # Pallas grid step that caps 256^3 jacobi3d at 0.45 of roofline
     # (exp27 isolates grid-entry overhead vs an in-kernel loop on the
-    # same slab DMA pattern).
-    self.stream_loop = bool(stream_loop)
+    # same slab DMA pattern). 'peel' additionally peels the boundary
+    # steps out of the loop so the steady-state interior body carries
+    # NO stream-class branches (they are pruned at trace time).
+    if stream_loop not in (False, True, 'peel'):
+      raise ValueError("stream_loop must be False|True|'peel'")
+    self.stream_loop = stream_loop
     if shift_mode not in ('window', 'roll'):
       raise ValueError("shift_mode must be window|roll")
     # shift_mode='roll' (value mode only): every shifted load is an
@@ -479,7 +483,8 @@ class PallasExecutor:
         name: stencil.symbol_table[name] for name in stencil.input_names
     }
     single = self.grid * self.grid_m == 1
-    stream_loop = self.stream_loop and not single
+    stream_loop = bool(self.stream_loop) and not single
+    stream_peel = self.stream_loop == 'peel'
     out_dma = (self.out_dma or stream_loop) and not single
     interpret = self.interpret
 
@@ -704,8 +709,19 @@ class PallasExecutor:
       n = n_blocks
       total = self.grid_m * n
 
-      def _step(jm, i):
+      def _step(jm, i, steady=False):
         step = jm * n + i
+
+        def when(cond):
+          """pl.when that prunes statically-known branches: steady
+          interior steps (stream_loop='peel', i in [2, n-3]) resolve
+          every stream-class predicate at trace time (step > 0,
+          step + 1 < total, rolling/store class 'mid', drain never
+          fires), and peeled boundary steps carry static i so their
+          class predicates fold to Python bools too."""
+          if isinstance(cond, bool):
+            return (lambda f: f()) if cond else (lambda f: None)
+          return pl.when(cond)
 
         def axis_start(p, blk, lo_, size_, ext_, align):
           start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
@@ -748,6 +764,15 @@ class PallasExecutor:
         )
 
         def roll_cond(kind, ii):
+          if steady:
+            # ii is i or i+1, both within [2, n-2]: always 'mid'
+            return kind == 'mid'
+          if isinstance(ii, int):  # peeled boundary step: fold now
+            if kind == 'second':
+              return ii == 1
+            if kind == 'mid':
+              return 1 < ii < n - 1
+            return ii == n - 1  # tail
           if kind == 'second':
             return ii == 1
           if kind == 'mid':
@@ -785,7 +810,7 @@ class PallasExecutor:
           slot = step % 2
           nxt_slot = (step + 1) % 2
 
-          @pl.when(step == 0)
+          @when(False if steady else step == 0)
           def _():
             for k in range(n_in):
               in_copy(k, i, jm, 0).start()
@@ -794,12 +819,12 @@ class PallasExecutor:
             # ORDER MATTERS: wait own fill and copy the overlap out of
             # the previous slab BEFORE starting the next fill — the next
             # fill overwrites exactly that slab's rows.
-            @pl.when(i == 0)
+            @when(False if steady else i == 0)
             def _():
               for k in range(n_in):
                 in_copy(k, i, jm, slot).wait()
             for kind, ov, row_fn, rows in roll_classes:
-              @pl.when(roll_cond(kind, i))
+              @when(roll_cond(kind, i))
               def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
                 for k in range(n_in):
                   partial_copy(k, kind, ov, row_fn, rows, i, slot).wait()
@@ -810,19 +835,31 @@ class PallasExecutor:
                   slabs[k][slot, 0:ov] = slabs[k][1 - slot, s - ov:s]
 
             for kind, ov, row_fn, rows in roll_classes:
-              @pl.when(jnp.logical_and(step + 1 < total,
-                                       roll_cond(kind, i + 1)))
+              nxt_cond = roll_cond(kind, i + 1)
+              if steady:
+                start_cond = nxt_cond
+              elif nxt_cond is False:
+                # statically impossible (peeled step): do NOT trace the
+                # body — its static slice indices may be out of bounds
+                start_cond = False
+              elif nxt_cond is True:
+                start_cond = step + 1 < total
+              else:
+                start_cond = jnp.logical_and(step + 1 < total, nxt_cond)
+
+              @when(start_cond)
               def _(kind=kind, ov=ov, row_fn=row_fn, rows=rows):
                 for k in range(n_in):
                   partial_copy(k, kind, ov, row_fn, rows, i + 1,
                                nxt_slot).start()
 
-            @pl.when(jnp.logical_and(step + 1 < total, i + 1 == n))
+            @when(False if steady else
+                  jnp.logical_and(step + 1 < total, i + 1 == n))
             def _():
               for k in range(n_in):
                 in_copy(k, 0, jm + 1, nxt_slot).start()
           else:
-            @pl.when(step + 1 < total)
+            @when(True if steady else step + 1 < total)
             def _():
               for k in range(n_in):
                 in_copy(k, nxt_i, nxt_j, nxt_slot).start()
@@ -847,7 +884,7 @@ class PallasExecutor:
                                        out_sems[k].at[slot_])
 
         if out_dma:
-          @pl.when(step >= 2)
+          @when(True if steady else step >= 2)
           def _():
             for k in range(n_out):
               out_copy(k, slot_out, i, jm).wait()
@@ -968,9 +1005,18 @@ class PallasExecutor:
           else:
             out_refs[k][tuple(out_idx)] = val
 
-        def class_cond(kind, p, nb):
+        def class_cond(kind, p, nb, stream_axis=False):
           if kind in (None, 'all'):
             return None
+          if stream_axis and steady:
+            # i in [2, n-3]: statically interior
+            return None if kind == 'mid' else False
+          if isinstance(p, int):  # peeled boundary step: fold now
+            if kind == 'first':
+              return p == 0
+            if kind == 'mid':
+              return 0 < p < nb - 1
+            return p == nb - 1  # tail
           if kind == 'first':
             return p == 0
           if kind == 'mid':
@@ -986,10 +1032,12 @@ class PallasExecutor:
               if mid_blocked:
                 bases[1] = (cm_base, mt)
               conds = [
-                  c for c in (class_cond(cs_kind, i, n),
+                  c for c in (class_cond(cs_kind, i, n, stream_axis=True),
                               class_cond(cm_kind, jm, self.grid_m))
-                  if c is not None
+                  if c is not None and c is not True
               ]
+              if any(c is False for c in conds):
+                continue  # statically impossible block class
               if not conds:
                 store_value(k, name, bases, val, window)
                 continue
@@ -1194,15 +1242,18 @@ class PallasExecutor:
             full_store(k, src[base_mid:base_mid + b])
             continue
 
-          @pl.when(i == 0)
+          @when((i == 0) if isinstance(i, int) else
+                False if steady else i == 0)
           def _(k=k, src=src):
             full_store(k, src[base_first:base_first + b])
 
-          @pl.when(jnp.logical_and(i > 0, i < n - 1))
+          @when((0 < i < n - 1) if isinstance(i, int) else
+                True if steady else jnp.logical_and(i > 0, i < n - 1))
           def _(k=k, src=src):
             full_store(k, src[base_mid:base_mid + b])
 
-          @pl.when(jnp.logical_and(i == n - 1, n > 1))
+          @when((i == n - 1) if isinstance(i, int) else
+                False if steady else jnp.logical_and(i == n - 1, n > 1))
           def _(k=k, src=src):
             full_store(k, src[base_tail:base_tail + b])
 
@@ -1210,7 +1261,7 @@ class PallasExecutor:
           for k in range(n_out):
             out_copy(k, slot_out, i, jm).start()
 
-          @pl.when(step == total - 1)
+          @when(False if steady else step == total - 1)
           def _():
             if total > 1:  # the previous step's copy is still in flight
               for k in range(n_out):
@@ -1220,12 +1271,29 @@ class PallasExecutor:
 
       if stream_loop:
         from jax import lax
+        peel = stream_peel and n >= 4
+
+        def tile(jm_):
+          if peel:
+            # boundary steps traced with STATIC i (their class
+            # predicates fold away); the interior runs a steady body
+            # with every stream-class branch pruned at trace time
+            _step(jm_, 0)
+            _step(jm_, 1)
+            lax.fori_loop(
+                2, n - 2,
+                lambda s_, c: (_step(jm_, s_, steady=True), c)[1], 0)
+            _step(jm_, n - 2)
+            _step(jm_, n - 1)
+          else:
+            lax.fori_loop(0, n,
+                          lambda s_, c: (_step(jm_, s_), c)[1], 0)
+
         if mid_blocked:
-          lax.fori_loop(
-              0, total,
-              lambda s_, c: (_step(s_ // n, lax.rem(s_, n)), c)[1], 0)
+          lax.fori_loop(0, self.grid_m,
+                        lambda j_, c: (tile(j_), c)[1], 0)
         else:
-          lax.fori_loop(0, n, lambda s_, c: (_step(0, s_), c)[1], 0)
+          tile(0)
       elif mid_blocked:
         _step(pl.program_id(0), pl.program_id(1))
       else:

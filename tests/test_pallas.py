@@ -269,6 +269,7 @@ def test_out_dma_matches_oracle(name, shape, builder_kw):
         stencil.symbol_table[out].is_float, f'{name}:out_dma')
 
 
+@pytest.mark.parametrize('stream_loop', [True, 'peel'])
 @pytest.mark.parametrize('name,shape,builder_kw', [
     ('jacobi3d', (64, 64, 64), {'mid_tile': 32, 'block_rows': 16}),
     ('blur', (128, 64), {'block_rows': 32}),
@@ -277,21 +278,23 @@ def test_out_dma_matches_oracle(name, shape, builder_kw):
     ('erosion', (256, 64),
      {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
       'transpose_lanes': 'on'}),
+    ('denoise2d', (64, 64), {'block_rows': 8, 'stage_mode': 'vmem'}),
 ])
-def test_stream_loop_matches_oracle(name, shape, builder_kw):
+def test_stream_loop_matches_oracle(name, shape, builder_kw, stream_loop):
   """stream_loop: the whole streaming grid runs inside ONE kernel
   invocation (empty Pallas grid, lax.fori_loop over steps, implied
   out_dma staging) — semantics-preserving on every step-body path:
   mid-blocked 3-D, plain 2-D, roll mode, and the transposed hybrid."""
   from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
   tiles = {'jacobi3d': (64, 32, 0), 'blur': (64, 0),
-           'heat3d': (64, 32, 0), 'erosion': (64, 0)}
+           'heat3d': (64, 32, 0), 'erosion': (64, 0),
+           'denoise2d': (64, 0)}
   stencil = corpus.build(name, tile_size=tiles[name])
   cls = MidTiledPallasExecutor if 'mid_tile' in builder_kw \
       else PallasExecutor
   inputs = reference.make_test_inputs(stencil, shape)
   want = reference.run(stencil, inputs)
-  ex = cls(stencil, shape, stream_loop=True, **builder_kw)
+  ex = cls(stencil, shape, stream_loop=stream_loop, **builder_kw)
   got = ex(inputs)
   for out in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, out)
