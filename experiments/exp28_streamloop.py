@@ -68,8 +68,11 @@ def main():
       ('jacobi3d mid=128 grid (seed)', {}),
       ('jacobi3d mid=128 out_dma', dict(out_dma=True)),
       ('jacobi3d mid=128 stream_loop', dict(stream_loop=True)),
+      ('jacobi3d mid=128 peel', dict(stream_loop='peel')),
       ('jacobi3d mid=128 loop+roll',
        dict(stream_loop=True, stage_mode='value', shift_mode='roll')),
+      ('jacobi3d mid=128 peel+roll',
+       dict(stream_loop='peel', stage_mode='value', shift_mode='roll')),
   ]:
     run(tag, st3, shape3,
         lambda kw=kw: MidTiledPallasExecutor(st3, shape3, mid_tile=128,
@@ -81,6 +84,7 @@ def main():
   for tag, kw in [
       ('blur roll b512 grid (seed)', {}),
       ('blur roll b512 stream_loop', dict(stream_loop=True)),
+      ('blur roll b512 peel', dict(stream_loop='peel')),
   ]:
     run(tag, stb, shapeb,
         lambda kw=kw: PallasExecutor(
@@ -93,6 +97,7 @@ def main():
   for tag, kw in [
       ('erosion hybrid b256 grid (seed)', {}),
       ('erosion hybrid b256 stream_loop', dict(stream_loop=True)),
+      ('erosion hybrid b256 peel', dict(stream_loop='peel')),
   ]:
     run(tag, ste, shapee,
         lambda kw=kw: PallasExecutor(
