@@ -134,6 +134,25 @@ def test_compute_chunked_with_mid_blocking():
                          want['out'][region], True, 'chunk:mid')
 
 
+@pytest.mark.parametrize('stream_loop', [True, 'peel'])
+def test_compute_chunked_stream_loop(stream_loop):
+  """Chunked stage evaluation (windowed store_all_classes) under the
+  in-kernel streaming loop: the chunk windows must compose with the
+  statically-pruned store classes of the steady/peeled bodies."""
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  stencil = corpus.build('jacobi3d')
+  shape = (48, 64, 128)
+  ex = MidTiledPallasExecutor(stencil, shape, mid_tile=16, block_rows=8,
+                              compute_chunk=4, stream_loop=stream_loop)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = ex(inputs)
+  region = reference.output_valid_slices(stencil, shape)
+  assert_close_reference(np.asarray(got['t0'])[region],
+                         want['t0'][region], True,
+                         'chunk:loop:%s' % stream_loop)
+
+
 def test_compute_chunked_rejects_2d():
   from soda_tpu import utils
   from soda_tpu.backend.pallas_kernel import PallasExecutor
