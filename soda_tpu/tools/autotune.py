@@ -90,6 +90,12 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
       cands.append({'mid_tile': mt, 'compute_chunk': 8})
       cands.append({'mid_tile': mt, 'block_rows': 32,
                     'compute_chunk': 8})
+    if mts:
+      # stream_loop: the whole grid inside one kernel invocation —
+      # attacks the ~2us fixed per-grid-step cost that binds exactly
+      # these many-step mid-tiled configs (exp27/exp28)
+      cands.append({'mid_tile': mts[-1], 'stream_loop': 'peel'})
+      cands.append({'mid_tile': mts[-1], 'stream_loop': True})
     return tuple(cands) or ({},)
   base = PallasExecutor(stencil, shape)  # estimator's pick
   cands = [{'block_rows': base.block_rows}]

@@ -78,3 +78,7 @@ def test_candidates_for_oversized_3d_cross_section():
   cands = candidate_configs(stencil, (64, 512, 512))
   assert cands and all('mid_tile' in c for c in cands)
   assert any('compute_chunk' in c for c in cands)
+  # stream_loop probes (exp27/exp28): one kernel invocation over the
+  # whole many-step grid, both plain and boundary-peeled
+  assert any(c.get('stream_loop') == 'peel' for c in cands)
+  assert any(c.get('stream_loop') is True for c in cands)
