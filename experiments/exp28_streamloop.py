@@ -51,8 +51,14 @@ def main():
       g = np.asarray(ex(inputs)[out0])[region]
       w = want[out0][region]
       if stencil.symbol_table[out0].is_float:
-        err = np.max(np.abs((w - g) / np.maximum(np.abs(w), 1e-30)))
-        ok = err < 1e-5
+        # the reference's pass criterion (frt/host.py:633-657): an
+        # element fails only if off by > t absolutely AND relatively
+        # (cancelling sums near zero legitimately blow up plain rel)
+        t = 1e-3 if tag.startswith('contrast') else 1e-4
+        d = np.abs(w.astype(np.float64) - g.astype(np.float64))
+        bad = (d > t) & (d > t * np.abs(w.astype(np.float64)))
+        err = int(bad.sum())
+        ok = err == 0
       else:
         err = np.max(np.abs(w.astype(np.int64) - g.astype(np.int64)))
         ok = err == 0
@@ -103,6 +109,31 @@ def main():
         lambda kw=kw: PallasExecutor(
             ste, shapee, block_rows=256, stage_mode='value',
             shift_mode='roll', transpose_lanes='on', **kw))
+
+  # contrast: the corpus' many-step config (32768 rows -> 100+ grid
+  # steps at the default block); if ANY per-step entry cost is
+  # unhidden behind its compute-bound body, peel shows it here
+  stc = corpus.build('contrast', tile_size=(512, 0),
+                     optimizations={'computation-reuse': 'yes'})
+  shapec = (32768, 512)
+  for tag, kw in [
+      ('contrast b(auto) grid (seed)', {}),
+      ('contrast b(auto) peel', dict(stream_loop='peel')),
+  ]:
+    run(tag, stc, shapec, lambda kw=kw: PallasExecutor(stc, shapec, **kw))
+
+  # seidel2d: mid-pack 2-D kernel (32 steps at b256, roll seed)
+  sts = corpus.build('seidel2d', tile_size=(2048, 0),
+                     optimizations={'computation-reuse': 'greedy'})
+  shapes_ = (8192, 2048)
+  for tag, kw in [
+      ('seidel2d roll b256 grid (seed)', {}),
+      ('seidel2d roll b256 peel', dict(stream_loop='peel')),
+  ]:
+    run(tag, sts, shapes_,
+        lambda kw=kw: PallasExecutor(
+            sts, shapes_, block_rows=256, stage_mode='value',
+            shift_mode='roll', **kw))
 
 
 if __name__ == '__main__':
