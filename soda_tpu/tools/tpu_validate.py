@@ -127,6 +127,17 @@ EX_VARIANTS = (
      {'optimizations': {'computation-reuse': 'greedy'}},
      dict(ROLL, transpose_lanes='on', block_rows=256)),
     ('blur+roll', 'blur', {}, dict(ROLL, block_rows=512)),
+    # stream_loop: the whole streaming grid inside one kernel
+    # invocation (in-kernel fori_loop + out_dma staging), plain and
+    # boundary-peeled — Mosaic legalization differs from the gridded
+    # path, so both need real-hardware coverage (exp27/exp28)
+    ('blur+stream_loop', 'blur', {}, dict(ROLL, block_rows=512,
+                                          stream_loop=True)),
+    ('jacobi3d+peel', 'jacobi3d', {}, {'stream_loop': 'peel'}),
+    ('erosion+hybrid+peel', 'erosion',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=256,
+          stream_loop='peel')),
 )
 
 
