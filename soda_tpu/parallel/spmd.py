@@ -90,12 +90,16 @@ class ShardedExecutor:
       chips of compute per slice).
     inner: 'xla' (shifted-slice stages, default) or 'pallas' (each
       shard runs the fused Pallas kernel).
+    inner_opts: executor kwargs forwarded to the per-shard fused
+      Pallas kernel (inner='pallas'): block_rows, stage/shift modes,
+      transpose_lanes, stream_loop — the single-chip tuned config
+      applies per shard unchanged.
   """
 
   def __init__(self, stencil, global_shape: Tuple[int, ...],
                mesh=None, inner: str = 'xla',
                interpret: Optional[bool] = None,
-               dim_axes=None):
+               dim_axes=None, inner_opts=None):
     import jax
     from jax import lax
     import jax.numpy as jnp
@@ -171,8 +175,11 @@ class ShardedExecutor:
       from soda_tpu.backend.pallas_kernel import PallasExecutor
       # the inner per-shard preserve fix-up would be cropped away and
       # redone with the global mask below — skip the wasted pass
+      # inner_opts: the tuned per-shard fused-kernel config (roll /
+      # hybrid / stream_loop bench seeds apply per shard unchanged)
       inner_exec = PallasExecutor(stencil, ext_shape, interpret=interpret,
-                                  apply_preserve_border=False)
+                                  apply_preserve_border=False,
+                                  **(inner_opts or {}))
 
       def run_local(arrays: Dict, params: Dict) -> Dict:
         args = [arrays[name] for name in input_names]

@@ -16,12 +16,13 @@ from soda_tpu.parallel.spmd import ShardedExecutor
 from checks import assert_close_reference
 
 
-def check_sharded(name, shape, inner='xla', mesh=None):
+def check_sharded(name, shape, inner='xla', mesh=None, inner_opts=None):
   stencil = corpus.build(name)
   inputs = reference.make_test_inputs(stencil, shape)
   params = reference.make_test_params(stencil)
   want = reference.run(stencil, inputs, params)
-  ex = ShardedExecutor(stencil, shape, inner=inner, mesh=mesh)
+  ex = ShardedExecutor(stencil, shape, inner=inner, mesh=mesh,
+                       inner_opts=inner_opts)
   got = ex(inputs, params)
   for out_name in stencil.output_names:
     region = reference.output_valid_slices(stencil, shape, out_name)
@@ -48,6 +49,16 @@ def test_sharded_matches_oracle(name, shape):
 def test_sharded_pallas_inner():
   # each shard runs the fused Pallas kernel (interpret mode on CPU)
   check_sharded('jacobi2d', (64, 32), inner='pallas')
+
+
+def test_sharded_pallas_inner_opts():
+  # the single-chip tuned config (roll-shift value mode, stream_loop)
+  # applies per shard through inner_opts
+  check_sharded('jacobi2d', (128, 32), inner='pallas',
+                inner_opts={'block_rows': 8, 'stage_mode': 'value',
+                            'shift_mode': 'roll'})
+  check_sharded('blur', (160, 64), inner='pallas',
+                inner_opts={'block_rows': 8, 'stream_loop': 'peel'})
 
 
 def test_indivisible_extent_pads_and_crops():
