@@ -212,6 +212,12 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
       candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
                          'transpose_lanes': 'on',
                          'block_rows': base_block})
+  if ex_opts.get('stream_loop') is None and ex.grid * ex.grid_m >= 8:
+    # stream_loop='peel': the whole streaming grid in one kernel
+    # invocation with boundary steps peeled — attacks the measured
+    # ~2us fixed cost per Pallas grid step, which only matters when
+    # steps are many and cheap (exp27/exp28)
+    candidates.append({'stream_loop': 'peel'})
   candidates = [c for c in candidates if c != cached_cfg]
   for cand in candidates:
     if over_budget():

@@ -67,6 +67,13 @@ OP_COST = {'add': 1.0, 'mul': 1.0, 'minmax': 1.0, 'other': 1.0,
            'div': 3.0, 'transcendental': 8.0}
 # stage boundary: result wrap/copy into its live value/slab
 STAGE_COST = 1.0
+# fixed cost per Pallas grid step (v5e, measured): input-DMA grant
+# chain + scalar bookkeeping at every grid entry. exp27 isolates it
+# synthetically and exp23/exp19 confirm it as the wall that caps
+# many-step configs (256^3 jacobi3d: 64+ steps x ~2us on a ~280us
+# roofline). stream_loop mode folds the grid into one invocation to
+# attack it.
+GRID_STEP_FIXED_S = 2e-6
 
 
 def device_params(device=None) -> Tuple[str, float, float]:
@@ -230,6 +237,16 @@ def estimate(stencil, shape: Tuple[int, ...],
                                a0)
   vmem = pallas_kernel.estimate_vmem(plan, shape, block_rows)
 
+  # dispatch-overhead model: the grid-stepped executor pays a fixed
+  # ~2us per Pallas grid step (GRID_STEP_FIXED_S); est_* folds it into
+  # the roofline bound, which is what the bench actually measures.
+  # ideal_* stays pure roofline (the reference's model is also
+  # dispatch-free, model/xilinx.py). stream_loop mode removes most of
+  # this term.
+  grid_steps = -(-shape[0] // block_rows)
+  overhead_s = grid_steps * GRID_STEP_FIXED_S
+  est_time_s = time_s + overhead_s
+
   return {
       'device': kind,
       'peak_hbm_gbps': bw_gbps,
@@ -244,6 +261,10 @@ def estimate(stencil, shape: Tuple[int, ...],
       'ideal_time_s': time_s,
       'ideal_cells_per_s': cells * stencil.iterate / time_s,
       'ideal_effective_gbps': traffic / time_s / 1e9,
+      'grid_steps': grid_steps,
+      'grid_step_overhead_s': overhead_s,
+      'est_time_s': est_time_s,
+      'est_roofline_frac': round(min(1.0, bw_time / est_time_s), 4),
       'block_rows': block_rows,
       'slab_rows': slab,
       'vmem_bytes': vmem,

@@ -119,6 +119,12 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
     # xcorr +15% over their previous best seeds
     cands.append({'block_rows': base.block_rows, 'stage_mode': 'value',
                   'shift_mode': 'roll', 'transpose_lanes': 'on'})
+  if base.grid * base.grid_m >= 8:
+    # stream_loop='peel': one kernel invocation for the whole grid,
+    # boundary steps peeled — pays off only when the ~2us fixed
+    # per-grid-step cost is a real fraction of the step (many cheap
+    # steps; exp27/exp28)
+    cands.append({'block_rows': base.block_rows, 'stream_loop': 'peel'})
   return tuple(cands)
 
 

@@ -82,3 +82,16 @@ def test_candidates_for_oversized_3d_cross_section():
   # whole many-step grid, both plain and boundary-peeled
   assert any(c.get('stream_loop') == 'peel' for c in cands)
   assert any(c.get('stream_loop') is True for c in cands)
+
+
+def test_candidates_include_peel_for_many_step_2d():
+  # many cheap grid steps: the generic candidate list adds the
+  # stream_loop='peel' probe (the ~2us/step fixed-cost attack); a
+  # single-block grid must NOT get it (stream_loop is a no-op there)
+  from soda_tpu import corpus
+  from soda_tpu.tools.autotune import candidate_configs
+  stencil = corpus.build('blur', tile_size=(2048, 0))
+  many = candidate_configs(stencil, (8192, 2048))
+  assert any(c.get('stream_loop') == 'peel' for c in many)
+  few = candidate_configs(stencil, (64, 256))
+  assert not any('stream_loop' in c for c in few)

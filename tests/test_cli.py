@@ -46,6 +46,11 @@ def test_estimate(tmp_path):
   assert est['bound'] in ('memory', 'compute')
   assert est['vmem_ok'] is True
   assert est['stages'] == 2  # iterate: 2
+  # dispatch-overhead model: est_time folds the fixed per-grid-step
+  # cost on top of the pure roofline; more steps -> more overhead
+  assert est['grid_steps'] == -(-512 // est['block_rows'])
+  assert est['est_time_s'] >= est['ideal_time_s']
+  assert est['est_roofline_frac'] <= est['model_roofline_frac']
 
 
 def test_run_self_test_passes():
