@@ -122,6 +122,29 @@ def main():
   ]:
     run(tag, stc, shapec, lambda kw=kw: PallasExecutor(stc, shapec, **kw))
 
+  # jacobi3d at the BENCH shape (16 stream steps x 16 mid tiles at the
+  # seed config): if peel wins here it goes straight into CONFIGS
+  stj = corpus.build('jacobi3d', tile_size=(128, 32, 0))
+  shapej = (2048, 32, 128)
+  for tag, kw in [
+      ('jacobi3d bench b128 grid (seed)', {}),
+      ('jacobi3d bench b128 peel', dict(stream_loop='peel')),
+  ]:
+    run(tag, stj, shapej,
+        lambda kw=kw: PallasExecutor(stj, shapej, block_rows=128, **kw))
+
+  # denoise2d roll b128 (64 steps: the most steps of any 2-D seed)
+  std = corpus.build('denoise2d', tile_size=(2048, 0))
+  shaped = (8192, 2048)
+  for tag, kw in [
+      ('denoise2d roll b128 grid (seed)', {}),
+      ('denoise2d roll b128 peel', dict(stream_loop='peel')),
+  ]:
+    run(tag, std, shaped,
+        lambda kw=kw: PallasExecutor(
+            std, shaped, block_rows=128, stage_mode='value',
+            shift_mode='roll', **kw))
+
   # seidel2d: mid-pack 2-D kernel (32 steps at b256, roll seed)
   sts = corpus.build('seidel2d', tile_size=(2048, 0),
                      optimizations={'computation-reuse': 'greedy'})
