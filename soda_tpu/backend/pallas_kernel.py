@@ -724,6 +724,13 @@ class PallasExecutor:
           return pl.when(cond)
 
         def axis_start(p, blk, lo_, size_, ext_, align):
+          if isinstance(p, int):
+            # peeled boundary step (static block index): fold to a
+            # Python constant so the DMA offset is static — Mosaic
+            # accepts any static offset, and the scalar core does no
+            # per-step address arithmetic
+            start = min(max(p * blk - lo_, 0), size_ - ext_)
+            return (start // align) * align if align > 1 else start
           start = jnp.clip(p * blk - lo_, 0, size_ - ext_)
           if align > 1:
             # sublane-axis DMA offsets must be provably tile-aligned;
@@ -803,8 +810,12 @@ class PallasExecutor:
           # look-ahead order: streaming blocks first within a mid tile,
           # then the next mid tile (row-major over the grid)
           if mid_blocked:
-            nxt_i = jnp.where(i + 1 < n, i + 1, 0)
-            nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
+            if isinstance(i, int):  # peeled step: fold the wrap now
+              nxt_i = i + 1 if i + 1 < n else 0
+              nxt_j = jm if i + 1 < n else jm + 1
+            else:
+              nxt_i = jnp.where(i + 1 < n, i + 1, 0)
+              nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
           else:
             nxt_i, nxt_j = i + 1, 0
           slot = step % 2
@@ -853,8 +864,14 @@ class PallasExecutor:
                   partial_copy(k, kind, ov, row_fn, rows, i + 1,
                                nxt_slot).start()
 
-            @when(False if steady else
-                  jnp.logical_and(step + 1 < total, i + 1 == n))
+            if steady:
+              tile_edge = False
+            elif isinstance(step, int):  # fully-peeled (static jm too)
+              tile_edge = step + 1 < total and i + 1 == n
+            else:
+              tile_edge = jnp.logical_and(step + 1 < total, i + 1 == n)
+
+            @when(tile_edge)
             def _():
               for k in range(n_in):
                 in_copy(k, 0, jm + 1, nxt_slot).start()
@@ -1290,8 +1307,15 @@ class PallasExecutor:
                           lambda s_, c: (_step(jm_, s_), c)[1], 0)
 
         if mid_blocked:
-          lax.fori_loop(0, self.grid_m,
-                        lambda j_, c: (tile(j_), c)[1], 0)
+          if peel and self.grid_m <= 4:
+            # mid-axis peel: few mid tiles unroll with STATIC jm, so
+            # every mid-class predicate and DMA offset folds at trace
+            # time too (the 256^3 topology is grid_m=2)
+            for j_ in range(self.grid_m):
+              tile(j_)
+          else:
+            lax.fori_loop(0, self.grid_m,
+                          lambda j_, c: (tile(j_), c)[1], 0)
         else:
           tile(0)
       elif mid_blocked:

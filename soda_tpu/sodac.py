@@ -106,6 +106,28 @@ def _parse_ints(text: str):
   return tuple(int(x) for x in text.split(','))
 
 
+def _probe_device(timeout_s: float):
+  """First attached device, or None if none answers within the
+  timeout. jax.devices() blocks indefinitely on a dead accelerator
+  link, so the probe runs on a daemon thread the caller may abandon
+  (the runtime caches the result, so a late success still serves any
+  subsequent probe)."""
+  import threading
+  box = []
+
+  def probe():
+    try:
+      import jax
+      box.append(jax.devices()[0])
+    except Exception:  # noqa: BLE001 - no device is fine
+      pass
+
+  t = threading.Thread(target=probe, daemon=True)
+  t.start()
+  t.join(timeout_s)
+  return box[0] if box else None
+
+
 def _default_shape(stencil):
   rest = tuple(reversed(stencil.tile_size[:-1]))
   return (256,) + rest
@@ -182,12 +204,10 @@ def main(argv: Optional[list] = None) -> int:
     from soda_tpu.model import estimate as model
     shape = _parse_ints(args.shape) if args.shape else \
         _default_shape(stencil)
-    device = None
-    try:
-      import jax
-      device = jax.devices()[0]
-    except Exception:  # noqa: BLE001 - no device is fine for estimation
-      pass
+    # opportunistic device probe for the model's device table; bounded
+    # because jax.devices() HANGS (not raises) when the TPU link is
+    # down, and an analytic estimate must never block on hardware
+    device = _probe_device(timeout_s=10.0)
     model_params = None
     if getattr(args, 'model_file', None):
       import json as json_mod
