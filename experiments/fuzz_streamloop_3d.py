@@ -53,6 +53,10 @@ def main():
     kw['stream_loop'] = (True, 'peel')[int(rng.integers(0, 2))]
     if rng.integers(0, 2):
       kw.update(stage_mode='value', shift_mode='roll')
+    if rng.integers(0, 2):
+      # deep prefetch (disables the rolling fill; exercises the
+      # warm-up fills and the look-ahead wrap across mid tiles)
+      kw['prefetch'] = int(rng.integers(3, 5))
     try:
       inputs = reference.make_test_inputs(stencil, shape)
       try:

@@ -223,7 +223,8 @@ class PallasExecutor:
                narrow: str = 'auto',
                out_dma: bool = False,
                stream_loop: bool = False,
-               shift_mode: str = 'window'):
+               shift_mode: str = 'window',
+               prefetch: int = 2):
     import jax
     self.stencil = stencil
     self.shape = tuple(shape)
@@ -264,6 +265,16 @@ class PallasExecutor:
     if stream_loop not in (False, True, 'peel'):
       raise ValueError("stream_loop must be False|True|'peel'")
     self.stream_loop = stream_loop
+    # prefetch: input-slab buffering depth. 2 = classic double buffer
+    # (fill for step i+1 started at step i). Depths 3-4 start fills
+    # prefetch-1 steps ahead — a lever against DMA grant latency when
+    # steps are short (the ~2us/step wall, exp30). Depth > 2 disables
+    # the rolling slab fill (its slab-to-slab overlap copy serializes
+    # completions one step apart, so deeper fills would overwrite the
+    # overlap source early) and costs prefetch input slabs of VMEM.
+    if not 2 <= int(prefetch) <= 4:
+      raise ValueError('prefetch must be in [2, 4]')
+    self.prefetch = int(prefetch)
     if shift_mode not in ('window', 'roll'):
       raise ValueError("shift_mode must be window|roll")
     # shift_mode='roll' (value mode only): every shifted load is an
@@ -487,6 +498,11 @@ class PallasExecutor:
     stream_peel = self.stream_loop == 'peel'
     out_dma = (self.out_dma or stream_loop) and not single
     interpret = self.interpret
+    # input-slab buffering depth: fills start depth-1 steps ahead.
+    # Clamped so the look-ahead crosses at most one mid-tile boundary.
+    depth = 1 if single else self.prefetch
+    if not single and self.grid_m > 1:
+      depth = min(depth, max(2, self.grid))
 
     n_blocks = self.grid
 
@@ -760,7 +776,11 @@ class PallasExecutor:
         #   1<i<n-1:     overlap lo+hi,   DMA b rows    at row i*b+hi
         #   i==n-1:      overlap lo+2*hi, DMA b-hi rows at row (n-1)*b+hi
         r_hi = self.hi
-        rolling = (not single and self.align0 == 1 and self.grid >= 3 and
+        # rolling requires depth 2: the slab-to-slab overlap copy at
+        # step i reads slab (i-1)%2, which a deeper fill would
+        # overwrite before the copy
+        rolling = (not single and depth == 2 and self.align0 == 1 and
+                   self.grid >= 3 and
                    0 < self.plan.halo_lo[dim - 1] + r_hi < b)
         r_lo = self.plan.halo_lo[dim - 1] if rolling else 0  # unpadded
         roll_classes = (
@@ -808,23 +828,30 @@ class PallasExecutor:
           slot = 0
         else:
           # look-ahead order: streaming blocks first within a mid tile,
-          # then the next mid tile (row-major over the grid)
+          # then the next mid tile (row-major over the grid); fills
+          # start depth-1 steps ahead (the clamp above bounds the
+          # look-ahead to one tile-boundary crossing)
+          la = depth - 1
           if mid_blocked:
             if isinstance(i, int):  # peeled step: fold the wrap now
-              nxt_i = i + 1 if i + 1 < n else 0
-              nxt_j = jm if i + 1 < n else jm + 1
+              nxt_i = i + la if i + la < n else i + la - n
+              nxt_j = jm if i + la < n else jm + 1
             else:
-              nxt_i = jnp.where(i + 1 < n, i + 1, 0)
-              nxt_j = jnp.where(i + 1 < n, jm, jm + 1)
+              nxt_i = jnp.where(i + la < n, i + la, i + la - n)
+              nxt_j = jnp.where(i + la < n, jm, jm + 1)
           else:
-            nxt_i, nxt_j = i + 1, 0
-          slot = step % 2
-          nxt_slot = (step + 1) % 2
+            nxt_i, nxt_j = i + la, 0
+          slot = step % depth
+          nxt_slot = (step + la) % depth
 
           @when(False if steady else step == 0)
           def _():
-            for k in range(n_in):
-              in_copy(k, i, jm, 0).start()
+            # pipeline warm-up: fills for global steps 0..depth-2
+            # (static indices — step 0 is (jm=0, i=0))
+            for g in range(min(la, total)):
+              gj, gi = divmod(g, n)
+              for k in range(n_in):
+                in_copy(k, gi, gj, g % depth).start()
 
           if rolling:
             # ORDER MATTERS: wait own fill and copy the overlap out of
@@ -876,7 +903,10 @@ class PallasExecutor:
               for k in range(n_in):
                 in_copy(k, 0, jm + 1, nxt_slot).start()
           else:
-            @when(True if steady else step + 1 < total)
+            # steady interior with depth <= 3 never runs off the grid:
+            # i <= n-3 puts step+la at most at total-1. depth 4 needs
+            # the dynamic bound even in the steady body.
+            @when(True if steady and depth <= 3 else step + la < total)
             def _():
               for k in range(n_in):
                 in_copy(k, nxt_i, nxt_j, nxt_slot).start()
@@ -1351,7 +1381,7 @@ class PallasExecutor:
         jax.ShapeDtypeStruct(pad_shape, stencil.symbol_table[name].np_dtype)
         for name in stencil.output_names
     ]
-    n_buf = 1 if single else 2
+    n_buf = depth
     scratch_shapes = [
         pltpu.VMEM((n_buf, s) + rest, input_types[name].np_dtype)
         for name in stencil.input_names

@@ -325,6 +325,39 @@ def test_stream_loop_matches_oracle(name, shape, builder_kw, stream_loop):
         stencil.symbol_table[out].is_float, f'{name}:stream_loop')
 
 
+@pytest.mark.parametrize('prefetch', [3, 4])
+@pytest.mark.parametrize('name,shape,builder_kw', [
+    ('blur', (128, 64), {'block_rows': 16}),
+    ('jacobi3d', (64, 64, 64), {'mid_tile': 32, 'block_rows': 8}),
+    ('jacobi3d', (96, 32, 64),
+     {'block_rows': 16, 'stream_loop': 'peel'}),
+    ('heat3d', (64, 32, 64),
+     {'block_rows': 8, 'stage_mode': 'value', 'shift_mode': 'roll',
+      'stream_loop': True}),
+])
+def test_prefetch_depth_matches_oracle(name, shape, builder_kw, prefetch):
+  """prefetch > 2: input-slab fills start depth-1 steps ahead (and the
+  rolling fill is disabled). Covers grid mode, mid-blocked grids (the
+  warm-up crossing a tile boundary at block_rows=8, grid=8 <= la is
+  impossible, but la=3 exercises the wrap arithmetic), stream_loop and
+  peel bodies."""
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  tiles = {'blur': (64, 0), 'jacobi3d': (64, 32, 0),
+           'heat3d': (64, 32, 0)}
+  stencil = corpus.build(name, tile_size=tiles[name])
+  cls = MidTiledPallasExecutor if 'mid_tile' in builder_kw \
+      else PallasExecutor
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = cls(stencil, shape, prefetch=prefetch, **builder_kw)
+  got = ex(inputs)
+  for out in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out)
+    assert_close_reference(
+        np.asarray(got[out])[region], want[out][region],
+        stencil.symbol_table[out].is_float, f'{name}:prefetch{prefetch}')
+
+
 @pytest.mark.parametrize('name,ov', [
     ('erosion', {'optimizations': {'computation-reuse': 'greedy'}}),
     ('xcorr', {'optimizations': {'computation-reuse': 'greedy'}}),
