@@ -87,6 +87,14 @@ def get_executor(stencil, shape: Tuple[int, ...], backend: str = 'auto',
       backend = 'xla'
   if backend == 'xla':
     from soda_tpu.backend.xla import XlaExecutor
+    if auto and kwargs:
+      # 'auto' fell back from the fused kernel: its config knobs have
+      # no XLA analog — drop them loudly rather than TypeError
+      dropped = {k: kwargs.pop(k) for k in list(kwargs)
+                 if k != 'interpret'}
+      if dropped:
+        _logger.warning('XLA fallback ignores fused-kernel options: %s',
+                        sorted(dropped))
     return XlaExecutor(stencil, shape, **kwargs)
   if backend == 'sharded':
     from soda_tpu.parallel.spmd import ShardedExecutor

@@ -99,7 +99,37 @@ def _build_parser() -> argparse.ArgumentParser:
                        help='with --run: probe block sizes / lane modes '
                             'on the attached device and cache the '
                             'winner (~/.cache/soda_tpu_tune.json)')
+  backend.add_argument('--kernel-opt', action='append', default=[],
+                       metavar='KEY=VALUE',
+                       help='explicit fused-kernel config (repeatable): '
+                            'block_rows=256 stage_mode=value '
+                            'shift_mode=roll transpose_lanes=on '
+                            'stream_loop=peel prefetch=3 ... — applies '
+                            'to the pallas/auto backends (and, with '
+                            '--backend sharded, to the per-shard '
+                            'kernel); mutually exclusive with --tune')
   return parser
+
+
+def _parse_kernel_opts(pairs):
+  """KEY=VALUE list -> executor kwargs (ints, bools, and the literal
+  mode strings pass through)."""
+  opts = {}
+  for pair in pairs:
+    key, sep, value = pair.partition('=')
+    if not sep or not key:
+      raise ValueError('--kernel-opt expects KEY=VALUE, got %r' % pair)
+    low = value.lower()
+    if low in ('true', 'yes'):
+      opts[key.replace('-', '_')] = True
+    elif low in ('false', 'no'):
+      opts[key.replace('-', '_')] = False
+    else:
+      try:
+        opts[key.replace('-', '_')] = int(value)
+      except ValueError:
+        opts[key.replace('-', '_')] = value
+  return opts
 
 
 def _parse_ints(text: str):
@@ -272,6 +302,19 @@ def _run(stencil, args) -> int:
   want = reference.run(stencil, inputs, params)
 
   backend = args.backend
+  try:
+    kernel_opts = _parse_kernel_opts(getattr(args, 'kernel_opt', []))
+  except ValueError as e:
+    print('ERROR: %s' % e, file=sys.stderr)
+    return 1
+  if kernel_opts and getattr(args, 'tune', False):
+    print('ERROR: --kernel-opt and --tune are mutually exclusive',
+          file=sys.stderr)
+    return 1
+  if kernel_opts and backend == 'xla':
+    print('ERROR: --kernel-opt configures the fused Pallas kernel; '
+          'the xla backend has no such knobs', file=sys.stderr)
+    return 1
   if getattr(args, 'tune', False) and backend in ('auto', 'pallas'):
     from soda_tpu.tools.autotune import tuned_executor
     executor = tuned_executor(stencil, shape)
@@ -295,7 +338,7 @@ def _run(stencil, args) -> int:
     executor = _Batched()
   elif backend in ('auto', 'pallas', 'xla'):
     from soda_tpu.backend import get_executor
-    executor = get_executor(stencil, shape, backend)
+    executor = get_executor(stencil, shape, backend, **kernel_opts)
   else:  # sharded
     from soda_tpu.parallel.spmd import ShardedExecutor
     mesh = None
@@ -308,7 +351,12 @@ def _run(stencil, args) -> int:
         n *= d
       devices = np.array(jax.devices()[:n]).reshape(dims)
       mesh = Mesh(devices, tuple('xy'[:len(dims)]))
-    executor = ShardedExecutor(stencil, shape, mesh=mesh)
+    if kernel_opts:
+      # explicit kernel config implies the per-shard fused kernel
+      executor = ShardedExecutor(stencil, shape, mesh=mesh,
+                                 inner='pallas', inner_opts=kernel_opts)
+    else:
+      executor = ShardedExecutor(stencil, shape, mesh=mesh)
 
   t0 = time.perf_counter()
   outs = executor(inputs, params)

@@ -76,3 +76,32 @@ def test_invalid_program_errors():
 def test_no_action_errors():
   r = run_cli(['-'], corpus.CORPUS['blur'])
   assert r.returncode != 0
+
+
+def test_run_with_kernel_opts():
+  """--kernel-opt KEY=VALUE forwards explicit fused-kernel config
+  (ints, bools, and mode strings) to the Pallas executor."""
+  r = run_cli(['-', '--run', '--backend', 'pallas', '--shape', '64,64',
+               '--kernel-opt', 'block_rows=16',
+               '--kernel-opt', 'stage_mode=value',
+               '--kernel-opt', 'shift_mode=roll',
+               '--kernel-opt', 'stream_loop=peel',
+               '--kernel-opt', 'prefetch=3'],
+              corpus.CORPUS['blur'])
+  assert r.returncode == 0, r.stderr + r.stdout
+  assert 'PASS' in r.stdout
+
+
+def test_kernel_opts_exclusive_with_tune():
+  r = run_cli(['-', '--run', '--tune', '--shape', '64,64',
+               '--kernel-opt', 'block_rows=16'],
+              corpus.CORPUS['blur'])
+  assert r.returncode != 0
+  assert 'mutually exclusive' in r.stderr
+
+
+def test_kernel_opts_rejected_for_xla():
+  r = run_cli(['-', '--run', '--backend', 'xla', '--shape', '64,64',
+               '--kernel-opt', 'block_rows=16'],
+              corpus.CORPUS['blur'])
+  assert r.returncode != 0
