@@ -60,6 +60,26 @@ def test_multi_output(program, executor_cls):
                            want[name][region], True, name)
 
 
+@pytest.mark.parametrize('kw', [
+    {'out_dma': True},
+    {'stream_loop': True},
+    {'stream_loop': 'peel', 'prefetch': 3},
+], ids=['out-dma', 'stream-loop', 'peel-prefetch3'])
+def test_multi_output_staged_stores(kw):
+  """Multi-output kernels through the out_dma staging path (one
+  double-buffered staging slab + semaphore per output), incl. the
+  stream_loop bodies that imply it."""
+  stencil = build_stencil(TWO_OUT)
+  shape = (64, 64)
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  got = PallasExecutor(stencil, shape, block_rows=16, **kw)(inputs)
+  for name in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, name)
+    assert_close_reference(np.asarray(got[name])[region],
+                           want[name][region], True, name)
+
+
 def test_multi_output_sharded():
   stencil = build_stencil(TWO_IN_TWO_OUT_ITER)
   shape = (64, 64)
