@@ -337,6 +337,26 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   return frac, gbps, cells_per_s, dt, speedup
 
 
+def _probe_devices(timeout_s: float):
+  """jax.devices() on a bounded daemon thread: the call HANGS (never
+  raises) when the TPU tunnel is down, and this harness must always
+  land its one JSON line."""
+  import threading
+  box = []
+
+  def probe():
+    try:
+      import jax
+      box.append(jax.devices())
+    except Exception as e:  # noqa: BLE001
+      log('device probe failed: %r' % (e,))
+
+  t = threading.Thread(target=probe, daemon=True)
+  t.start()
+  t.join(timeout_s)
+  return box[0] if box else None
+
+
 def main():
   import jax
   try:
@@ -344,7 +364,13 @@ def main():
     _cache.enable()  # second runs skip unchanged kernels' compiles
   except Exception as e:  # noqa: BLE001 - cache is best-effort
     log('compilation cache disabled: %r' % (e,))
-  dev = jax.devices()[0]
+  devices = _probe_devices(timeout_s=180.0)
+  if devices is None:
+    log('no device answered within 180s (TPU tunnel down?)')
+    print(json.dumps({'metric': 'hbm_roofline_frac_geomean', 'value': 0.0,
+                      'unit': 'fraction', 'vs_baseline': 0.0}))
+    return
+  dev = devices[0]
   on_tpu = jax.default_backend() == 'tpu'
   peak = peak_bandwidth(dev)
   log('device: %s (%s), peak HBM %.0f GB/s, backend=%s' %
