@@ -218,6 +218,9 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     # ~2us fixed cost per Pallas grid step, which only matters when
     # steps are many and cheap (exp27/exp28)
     candidates.append({'stream_loop': 'peel'})
+    # deep input prefetch (exp30/exp31): hides DMA grant latency at
+    # the price of the rolling fill (halo re-reads)
+    candidates.append({'stream_loop': 'peel', 'prefetch': 3})
   candidates = [c for c in candidates if c != cached_cfg]
   for cand in candidates:
     if over_budget():

@@ -96,6 +96,10 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
       # these many-step mid-tiled configs (exp27/exp28)
       cands.append({'mid_tile': mts[-1], 'stream_loop': 'peel'})
       cands.append({'mid_tile': mts[-1], 'stream_loop': True})
+      # deep input prefetch (exp30/exp31): trades the rolling fill for
+      # halo re-reads but hides depth-1 steps of DMA grant latency
+      cands.append({'mid_tile': mts[-1], 'stream_loop': 'peel',
+                    'prefetch': 3})
     return tuple(cands) or ({},)
   base = PallasExecutor(stencil, shape)  # estimator's pick
   cands = [{'block_rows': base.block_rows}]
@@ -125,6 +129,8 @@ def candidate_configs(stencil, shape) -> Tuple[Dict, ...]:
     # per-grid-step cost is a real fraction of the step (many cheap
     # steps; exp27/exp28)
     cands.append({'block_rows': base.block_rows, 'stream_loop': 'peel'})
+    cands.append({'block_rows': base.block_rows, 'stream_loop': 'peel',
+                  'prefetch': 3})
   return tuple(cands)
 
 
