@@ -138,12 +138,22 @@ EX_VARIANTS = (
      {'optimizations': {'computation-reuse': 'greedy'}},
      dict(ROLL, transpose_lanes='on', block_rows=256,
           stream_loop='peel')),
+    # deep input prefetch: depth-3 slabs + warm-up fills need their
+    # own Mosaic legalization coverage (exp30/exp31)
+    ('jacobi3d+prefetch3', 'jacobi3d', {},
+     {'stream_loop': 'peel', 'prefetch': 3}),
 )
 
 
 def main() -> int:
   import jax
   from soda_tpu import corpus
+  if '--interpret' in sys.argv:
+    # run the SAME gate matrix offline: CPU platform, Pallas interpret
+    # mode (executors auto-detect off-TPU) — catches builder
+    # regressions across every variant without hardware; Mosaic
+    # legalization still needs the real run
+    jax.config.update('jax_platforms', 'cpu')
   do_variants = '--variants' in sys.argv
   if '--shape-scale' in sys.argv:
     # scale the STREAMING extent (the unbounded axis) of every case
