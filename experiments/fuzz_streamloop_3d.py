@@ -46,7 +46,11 @@ def main():
     # (n = 4, 5) as well as long grids; mid axis sometimes tiled
     n_blocks = int(rng.integers(4, 9))
     block = 8 * int(rng.integers(1, 3))
-    shape = (n_blocks * block, 16, 64)
+    # mid extent varies so grid_m crosses the peel threshold (<=4
+    # unrolls static jm; >4 runs the fori_loop-over-jm path where jm
+    # is traced but the peeled stream steps keep static i)
+    mid_ext = (16, 48, 64)[int(rng.integers(0, 3))]
+    shape = (n_blocks * block, mid_ext, 64)
     kw = dict(block_rows=block)
     if rng.integers(0, 2):
       kw['mid_tile'] = 8

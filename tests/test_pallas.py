@@ -294,6 +294,10 @@ def test_out_dma_matches_oracle(name, shape, builder_kw):
     # grid_m=4 <= the peel mid-unroll bound: exercises STATIC jm with
     # a 'mid' mid-class present (first/mid/tail all fold at trace time)
     ('jacobi3d', (64, 64, 64), {'mid_tile': 16, 'block_rows': 16}),
+    # grid_m=6 > the peel mid-unroll bound: jm stays a fori_loop
+    # variable while the peeled stream steps keep static i — the
+    # mixed dynamic-jm/static-i predicates must still fold correctly
+    ('jacobi3d', (64, 96, 64), {'mid_tile': 16, 'block_rows': 16}),
     ('blur', (128, 64), {'block_rows': 32}),
     ('heat3d', (64, 32, 64),
      {'block_rows': 16, 'stage_mode': 'value', 'shift_mode': 'roll'}),
