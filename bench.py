@@ -375,23 +375,10 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
 
 
 def _probe_devices(timeout_s: float):
-  """jax.devices() on a bounded daemon thread: the call HANGS (never
-  raises) when the TPU tunnel is down, and this harness must always
-  land its one JSON line."""
-  import threading
-  box = []
-
-  def probe():
-    try:
-      import jax
-      box.append(jax.devices())
-    except Exception as e:  # noqa: BLE001
-      log('device probe failed: %r' % (e,))
-
-  t = threading.Thread(target=probe, daemon=True)
-  t.start()
-  t.join(timeout_s)
-  return box[0] if box else None
+  """Bounded jax.devices(): the call HANGS when the TPU tunnel is
+  down, and this harness must always land its one JSON line."""
+  from soda_tpu.utils import probe_devices
+  return probe_devices(timeout_s)
 
 
 def main():
@@ -435,7 +422,18 @@ def main():
       except Exception as e:  # keep the bench robust: report what ran
         log('FAILED %s (attempt %d): %r' % (name, attempt, e))
   if not fracs:
-    _emit_fallback('no kernel produced a measurement')
+    # Distinguish "tunnel died mid-run" (fall back to the last
+    # hardware-measured result) from "the device is fine but every
+    # kernel regressed" (report an honest 0.0 so the regression shows).
+    if _probe_devices(timeout_s=60.0) is None:
+      _emit_fallback('no kernel produced a measurement (tunnel lost '
+                     'mid-run)')
+    else:
+      log('no kernel produced a measurement with a live device: '
+          'reporting 0.0 (regression, not an outage)')
+      print(json.dumps({'metric': 'hbm_roofline_frac_geomean',
+                        'value': 0.0, 'unit': 'fraction',
+                        'vs_baseline': 0.0}))
     return
   geomean = math.exp(sum(map(math.log, fracs)) / len(fracs))
   # continuity metric: the round-1 bench covered only these six

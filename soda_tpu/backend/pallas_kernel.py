@@ -134,9 +134,10 @@ def scratch_slots(plan: FusionPlan, skip=()):
 
 def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
                   block_rows: int, stage_mode: str = 'vmem',
-                  compute_chunk: Optional[int] = None) -> int:
+                  compute_chunk: Optional[int] = None,
+                  prefetch: int = 2) -> int:
   """Working-set estimate of the fused kernel at a given block size:
-  double-buffered input slabs + per-stage scratch + fold temporaries +
+  ``prefetch``-deep input slabs + per-stage scratch + fold temporaries +
   Pallas's double-buffered output blocks. ``compute_chunk`` bounds the
   fold temporaries at chunk size (chunked stage evaluation)."""
   dim = plan.dim
@@ -148,7 +149,7 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
   total = 0
   for name in plan.stencil.input_names:
     esize = plan.stencil.symbol_table[name].width_in_bytes
-    total += 2 * _padded_cells((s,) + rest) * esize
+    total += max(2, prefetch) * _padded_cells((s,) + rest) * esize
   # per-SLOT VMEM scratch (liveness-reused slabs): storage width in
   # vmem mode; C-promoted width in value mode (wrap_promoted keeps
   # sub-32-bit integers at i32)
@@ -187,13 +188,15 @@ def estimate_vmem(plan: FusionPlan, shape: Tuple[int, ...],
 def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
                       budget: int = _VMEM_BUDGET,
                       stage_mode: str = 'vmem',
-                      compute_chunk: Optional[int] = None) -> int:
+                      compute_chunk: Optional[int] = None,
+                      prefetch: int = 2) -> int:
   """Largest power-of-two block_rows whose slab working set fits the
   VMEM budget — the analog of the reference's FIFO-depth solve
   (dataflow.py:94-176) for the fused-kernel world."""
   best = 8
   for b in (8, 16, 32, 64, 128, 256, 512, 1024):
-    if estimate_vmem(plan, shape, b, stage_mode, compute_chunk) <= budget:
+    if estimate_vmem(plan, shape, b, stage_mode, compute_chunk,
+                     prefetch) <= budget:
       best = b
     else:
       break
@@ -420,7 +423,8 @@ class PallasExecutor:
         self.shape[0], self.mid_ext, self.shape[2])
     b = block_rows or choose_block_rows(self.plan, est_shape,
                                         stage_mode=self.stage_mode,
-                                        compute_chunk=self.compute_chunk)
+                                        compute_chunk=self.compute_chunk,
+                                        prefetch=self.prefetch)
     if (block_rows is None and self.shift_mode == 'roll' and
         len(self.shape) == 2 and self.transpose_lanes != 'off'):
       # hybrid transposed regions crash Mosaic above 256 stream rows
@@ -454,7 +458,7 @@ class PallasExecutor:
       # conservative; the bench's compile-probe relies on this).
       min_b = _pad_to(max(8, self.lo, self.hi + 1), self.align0)
       if estimate_vmem(self.plan, est_shape, min_b, self.stage_mode,
-                       self.compute_chunk) > _VMEM_LIMIT:
+                       self.compute_chunk, self.prefetch) > _VMEM_LIMIT:
         raise utils.InputError(
             'estimated VMEM working set exceeds the %d MB scoped limit '
             'even at the minimum block size (%d); shrink the '

@@ -197,12 +197,15 @@ def op_model(stencil, plan, lanes: Optional[int] = None,
 
 def estimate(stencil, shape: Tuple[int, ...],
              device=None,
-             model_params: Optional[Dict[str, float]] = None
+             model_params: Optional[Dict[str, float]] = None,
+             kernel_opts: Optional[Dict[str, object]] = None
              ) -> Dict[str, object]:
   """Analytic estimate; ``model_params`` may override the device table
   ({'hbm_gbps': .., 'vpu_gflops': ..} — the analog of the reference's
   --model-file JSON with target_freq/dram_bandwidth,
-  model/xilinx.py:34-60)."""
+  model/xilinx.py:34-60). ``kernel_opts`` (the CLI's --kernel-opt
+  dict) pins the executor config the estimate models: block_rows,
+  mid_tile, stage_mode, compute_chunk, prefetch, stream_loop."""
   plan = make_plan(stencil, 'full')
   kind, bw_gbps, vpu_gflops = device_params(device)
   if model_params:
@@ -225,8 +228,42 @@ def estimate(stencil, shape: Tuple[int, ...],
   bound = 'memory' if bw_time >= compute_time else 'compute'
   time_s = max(bw_time, compute_time)
 
-  block_rows = pallas_kernel.choose_block_rows(plan, shape)
+  ko = dict(kernel_opts or {})
   dim = plan.dim
+  prefetch = int(ko.get('prefetch', 2))
+  # mirror the auto-dispatch's mid-tiling pick (3-D cross-sections
+  # over the VMEM budget stream as grid_m halo-overlapped mid tiles,
+  # MidTiledPallasExecutor): per-grid-step overhead scales with
+  # grid * grid_m, not the streaming grid alone
+  grid_m = 1
+  mid_tile = ko.get('mid_tile')
+  est_shape = shape
+  if dim == 3:
+    h, m, w_ = shape
+    mlo = pallas_kernel._pad_to(plan.halo_lo[1], pallas_kernel._ALIGN)
+    mhi = plan.halo_hi[1]
+    if mid_tile is None:
+      mid_tile = m
+      while mid_tile > 8:
+        ext = min(m, pallas_kernel._pad_to(mid_tile + mlo + mhi,
+                                           pallas_kernel._ALIGN))
+        if pallas_kernel.estimate_vmem(
+            plan, (h, ext, w_), 8, 'value',
+            prefetch=prefetch) <= pallas_kernel._VMEM_BUDGET:
+          break
+        mid_tile //= 2
+      mid_tile = max(8, mid_tile)
+    mt = pallas_kernel._pad_to(max(int(mid_tile), mlo, mhi + 1),
+                               pallas_kernel._ALIGN)
+    m_pad = pallas_kernel._pad_to(m, mt)
+    ext = pallas_kernel._pad_to(mt + mlo + mhi, pallas_kernel._ALIGN)
+    if ext < m_pad and mt < m_pad:
+      grid_m = m_pad // mt
+      est_shape = (h, ext, w_)
+  stage_mode = ko.get('stage_mode', 'vmem' if grid_m == 1 else 'value')
+  block_rows = int(ko.get('block_rows') or pallas_kernel.choose_block_rows(
+      plan, est_shape, stage_mode=stage_mode,
+      compute_chunk=ko.get('compute_chunk'), prefetch=prefetch))
   # mirror the executor's slab geometry and VMEM model EXACTLY
   # (axis-0 alignment is 8 for 2-D sublanes but 1 for 3-D plane
   # strides, pallas_kernel._axis0_align; the working-set model is the
@@ -235,16 +272,20 @@ def estimate(stencil, shape: Tuple[int, ...],
   lo = pallas_kernel._pad_to(plan.halo_lo[dim - 1], a0)
   slab = pallas_kernel._pad_to(block_rows + lo + plan.halo_hi[dim - 1],
                                a0)
-  vmem = pallas_kernel.estimate_vmem(plan, shape, block_rows)
+  vmem = pallas_kernel.estimate_vmem(plan, est_shape, block_rows,
+                                     stage_mode,
+                                     ko.get('compute_chunk'), prefetch)
 
   # dispatch-overhead model: the grid-stepped executor pays a fixed
   # ~2us per Pallas grid step (GRID_STEP_FIXED_S); est_* folds it into
   # the roofline bound, which is what the bench actually measures.
   # ideal_* stays pure roofline (the reference's model is also
-  # dispatch-free, model/xilinx.py). stream_loop mode removes most of
-  # this term.
-  grid_steps = -(-shape[0] // block_rows)
-  overhead_s = grid_steps * GRID_STEP_FIXED_S
+  # dispatch-free, model/xilinx.py). stream_loop mode replaces the
+  # per-step dispatch with ONE invocation (the in-kernel loop's
+  # residual per-iteration cost is below the model's resolution).
+  grid_steps = -(-shape[0] // block_rows) * grid_m
+  dispatches = 1 if ko.get('stream_loop') else grid_steps
+  overhead_s = dispatches * GRID_STEP_FIXED_S
   est_time_s = time_s + overhead_s
 
   return {
@@ -262,6 +303,8 @@ def estimate(stencil, shape: Tuple[int, ...],
       'ideal_cells_per_s': cells * stencil.iterate / time_s,
       'ideal_effective_gbps': traffic / time_s / 1e9,
       'grid_steps': grid_steps,
+      'grid_m': grid_m,
+      'mid_tile': None if grid_m == 1 else int(mid_tile),
       'grid_step_overhead_s': overhead_s,
       'est_time_s': est_time_s,
       'est_roofline_frac': round(min(1.0, bw_time / est_time_s), 4),
@@ -276,7 +319,7 @@ def estimate(stencil, shape: Tuple[int, ...],
 
 
 def print_estimation(stencil, shape, file, device=None,
-                     model_params=None) -> None:
-  json.dump(estimate(stencil, shape, device, model_params), file,
-            indent=2, default=str)
+                     model_params=None, kernel_opts=None) -> None:
+  json.dump(estimate(stencil, shape, device, model_params, kernel_opts),
+            file, indent=2, default=str)
   file.write('\n')

@@ -176,10 +176,14 @@ class ShardedExecutor:
       # the inner per-shard preserve fix-up would be cropped away and
       # redone with the global mask below — skip the wasted pass
       # inner_opts: the tuned per-shard fused-kernel config (roll /
-      # hybrid / stream_loop bench seeds apply per shard unchanged)
-      inner_exec = PallasExecutor(stencil, ext_shape, interpret=interpret,
-                                  apply_preserve_border=False,
-                                  **(inner_opts or {}))
+      # hybrid / stream_loop bench seeds apply per shard unchanged).
+      # interpret/apply_preserve_border are owned by the sharded layer;
+      # a caller-supplied duplicate would be a TypeError, so drop it.
+      opts = dict(inner_opts or {})
+      opts.pop('apply_preserve_border', None)
+      opts.setdefault('interpret', interpret)
+      opts['apply_preserve_border'] = False
+      inner_exec = PallasExecutor(stencil, ext_shape, **opts)
 
       def run_local(arrays: Dict, params: Dict) -> Dict:
         args = [arrays[name] for name in input_names]

@@ -111,24 +111,38 @@ def _build_parser() -> argparse.ArgumentParser:
   return parser
 
 
+def _kernel_opt_keys():
+  """Valid --kernel-opt keys = PallasExecutor's config kwargs."""
+  import inspect
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  params = inspect.signature(PallasExecutor.__init__).parameters
+  return sorted(set(params) - {'self', 'stencil', 'shape'})
+
+
 def _parse_kernel_opts(pairs):
   """KEY=VALUE list -> executor kwargs (ints, bools, and the literal
-  mode strings pass through)."""
+  mode strings pass through). Unknown keys raise ValueError so typos
+  land as a clean CLI error, not an executor traceback."""
   opts = {}
+  valid = _kernel_opt_keys()
   for pair in pairs:
     key, sep, value = pair.partition('=')
     if not sep or not key:
       raise ValueError('--kernel-opt expects KEY=VALUE, got %r' % pair)
+    key = key.replace('-', '_')
+    if key not in valid:
+      raise ValueError('unknown --kernel-opt key %r (valid: %s)' %
+                       (key, ', '.join(valid)))
     low = value.lower()
     if low in ('true', 'yes'):
-      opts[key.replace('-', '_')] = True
+      opts[key] = True
     elif low in ('false', 'no'):
-      opts[key.replace('-', '_')] = False
+      opts[key] = False
     else:
       try:
-        opts[key.replace('-', '_')] = int(value)
+        opts[key] = int(value)
       except ValueError:
-        opts[key.replace('-', '_')] = value
+        opts[key] = value
   return opts
 
 
@@ -138,24 +152,9 @@ def _parse_ints(text: str):
 
 def _probe_device(timeout_s: float):
   """First attached device, or None if none answers within the
-  timeout. jax.devices() blocks indefinitely on a dead accelerator
-  link, so the probe runs on a daemon thread the caller may abandon
-  (the runtime caches the result, so a late success still serves any
-  subsequent probe)."""
-  import threading
-  box = []
-
-  def probe():
-    try:
-      import jax
-      box.append(jax.devices()[0])
-    except Exception:  # noqa: BLE001 - no device is fine
-      pass
-
-  t = threading.Thread(target=probe, daemon=True)
-  t.start()
-  t.join(timeout_s)
-  return box[0] if box else None
+  timeout (bounded because jax.devices() hangs on a dead link)."""
+  devices = utils.probe_devices(timeout_s)
+  return devices[0] if devices else None
 
 
 def _default_shape(stencil):
@@ -197,6 +196,23 @@ def main(argv: Optional[list] = None) -> int:
     optimizations['separable'] = 'no'
   if optimizations:
     overrides['optimizations'] = optimizations
+
+  # --kernel-opt is parsed and validated ONCE, up front, so typos and
+  # conflicts error loudly for EVERY action (--run/--estimate/
+  # --compile-stats), not just --run
+  try:
+    kernel_opts = _parse_kernel_opts(args.kernel_opt)
+  except ValueError as e:
+    parser.error(str(e))
+    return 1
+  if kernel_opts:
+    if args.tune:
+      parser.error('--kernel-opt and --tune are mutually exclusive')
+      return 1
+    if args.backend == 'xla':
+      parser.error('--kernel-opt configures the fused Pallas kernel; '
+                   'the xla backend has no such knobs')
+      return 1
 
   from soda_tpu import api
   try:
@@ -245,10 +261,11 @@ def main(argv: Optional[list] = None) -> int:
         model_params = json_mod.load(f)
     if args.estimate == '-':
       model.print_estimation(stencil, shape, sys.stdout, device,
-                             model_params)
+                             model_params, kernel_opts)
     else:
       with open(args.estimate, 'w') as f:
-        model.print_estimation(stencil, shape, f, device, model_params)
+        model.print_estimation(stencil, shape, f, device, model_params,
+                               kernel_opts)
     did_something = True
 
   if args.compile_stats:
@@ -258,7 +275,7 @@ def main(argv: Optional[list] = None) -> int:
     from soda_tpu.model.compiled import compiled_stats
     shape = _parse_ints(args.shape) if args.shape else \
         _default_shape(stencil)
-    executor = PallasExecutor(stencil, shape)
+    executor = PallasExecutor(stencil, shape, **kernel_opts)
     inputs = reference.make_test_inputs(stencil, shape)
     params = reference.make_test_params(stencil)
     stats = compiled_stats(executor, inputs, params)
@@ -280,7 +297,7 @@ def main(argv: Optional[list] = None) -> int:
       _cache.enable()
     except Exception as e:  # noqa: BLE001 - cache is best-effort
       logging.getLogger().warning('compilation cache disabled: %r', e)
-    code = _run(stencil, args)
+    code = _run(stencil, args, kernel_opts)
     if code:
       return code
 
@@ -290,7 +307,7 @@ def main(argv: Optional[list] = None) -> int:
   return 0
 
 
-def _run(stencil, args) -> int:
+def _run(stencil, args, kernel_opts) -> int:
   """Execute on random inputs and verify against the NumPy oracle —
   the analog of running the generated host with SODA_TEST_MAIN."""
   import numpy as np
@@ -302,19 +319,6 @@ def _run(stencil, args) -> int:
   want = reference.run(stencil, inputs, params)
 
   backend = args.backend
-  try:
-    kernel_opts = _parse_kernel_opts(getattr(args, 'kernel_opt', []))
-  except ValueError as e:
-    print('ERROR: %s' % e, file=sys.stderr)
-    return 1
-  if kernel_opts and getattr(args, 'tune', False):
-    print('ERROR: --kernel-opt and --tune are mutually exclusive',
-          file=sys.stderr)
-    return 1
-  if kernel_opts and backend == 'xla':
-    print('ERROR: --kernel-opt configures the fused Pallas kernel; '
-          'the xla backend has no such knobs', file=sys.stderr)
-    return 1
   if getattr(args, 'tune', False) and backend in ('auto', 'pallas'):
     from soda_tpu.tools.autotune import tuned_executor
     executor = tuned_executor(stencil, shape)
@@ -338,7 +342,12 @@ def _run(stencil, args) -> int:
     executor = _Batched()
   elif backend in ('auto', 'pallas', 'xla'):
     from soda_tpu.backend import get_executor
-    executor = get_executor(stencil, shape, backend, **kernel_opts)
+    try:
+      executor = get_executor(stencil, shape, backend, **kernel_opts)
+    except (ValueError, utils.InputError) as e:
+      # bad --kernel-opt VALUES surface here (keys were pre-validated)
+      print('ERROR: %s' % e, file=sys.stderr)
+      return 1
   else:  # sharded
     from soda_tpu.parallel.spmd import ShardedExecutor
     mesh = None
@@ -351,12 +360,16 @@ def _run(stencil, args) -> int:
         n *= d
       devices = np.array(jax.devices()[:n]).reshape(dims)
       mesh = Mesh(devices, tuple('xy'[:len(dims)]))
-    if kernel_opts:
-      # explicit kernel config implies the per-shard fused kernel
-      executor = ShardedExecutor(stencil, shape, mesh=mesh,
-                                 inner='pallas', inner_opts=kernel_opts)
-    else:
-      executor = ShardedExecutor(stencil, shape, mesh=mesh)
+    try:
+      if kernel_opts:
+        # explicit kernel config implies the per-shard fused kernel
+        executor = ShardedExecutor(stencil, shape, mesh=mesh,
+                                   inner='pallas', inner_opts=kernel_opts)
+      else:
+        executor = ShardedExecutor(stencil, shape, mesh=mesh)
+    except (ValueError, utils.InputError) as e:
+      print('ERROR: %s' % e, file=sys.stderr)
+      return 1
 
   t0 = time.perf_counter()
   outs = executor(inputs, params)

@@ -119,3 +119,27 @@ def threshold_for(app_name: str) -> float:
     if app_name.startswith(key):
       return value
   return DEFAULT_THRESHOLD
+
+
+def probe_devices(timeout_s: float):
+  """``jax.devices()`` on a bounded daemon thread, or None on timeout.
+
+  The call HANGS (never raises) when the TPU tunnel is down, so every
+  host-side consumer (bench, CLI --estimate/--tune) must bound it. The
+  thread is abandoned on timeout; the JAX runtime caches the backend,
+  so a late success still serves any subsequent probe in-process.
+  """
+  import threading
+  box: list = []
+
+  def probe():
+    try:
+      import jax
+      box.append(jax.devices())
+    except Exception:  # noqa: BLE001 - no device is a normal outcome
+      pass
+
+  t = threading.Thread(target=probe, daemon=True)
+  t.start()
+  t.join(timeout_s)
+  return box[0] if box else None

@@ -105,3 +105,44 @@ def test_kernel_opts_rejected_for_xla():
                '--kernel-opt', 'block_rows=16'],
               corpus.CORPUS['blur'])
   assert r.returncode != 0
+
+
+def test_kernel_opt_unknown_key_clean_error():
+  r = run_cli(['-', '--run', '--backend', 'pallas', '--shape', '64,64',
+               '--kernel-opt', 'block_row=16'],  # typo
+              corpus.CORPUS['blur'])
+  assert r.returncode != 0
+  assert 'unknown --kernel-opt key' in r.stderr
+  assert 'Traceback' not in r.stderr
+
+
+def test_kernel_opt_bad_value_clean_error():
+  r = run_cli(['-', '--run', '--backend', 'pallas', '--shape', '64,64',
+               '--kernel-opt', 'prefetch=9'],
+              corpus.CORPUS['blur'])
+  assert r.returncode != 0
+  assert 'ERROR' in r.stderr
+  assert 'Traceback' not in r.stderr
+
+
+def test_estimate_honors_kernel_opts(tmp_path):
+  """--kernel-opt applies to --estimate too (r3 review find: it was
+  silently ignored outside --run)."""
+  out = tmp_path / 'est.json'
+  r = run_cli(['-', '--estimate', str(out), '--shape', '512,512',
+               '--kernel-opt', 'block_rows=16',
+               '--kernel-opt', 'stream_loop=true'],
+              corpus.CORPUS['jacobi2d'])
+  assert r.returncode == 0, r.stderr
+  est = json.loads(out.read_text())
+  assert est['block_rows'] == 16
+  # stream_loop: one dispatch, not one per grid step
+  assert est['grid_step_overhead_s'] < est['grid_steps'] * 1e-6 + 1e-12
+
+
+def test_kernel_opt_rejected_for_estimate_typo():
+  r = run_cli(['-', '--estimate', '-', '--shape', '64,64',
+               '--kernel-opt', 'bogus=1'],
+              corpus.CORPUS['blur'])
+  assert r.returncode != 0
+  assert 'unknown --kernel-opt key' in r.stderr

@@ -229,3 +229,11 @@ def test_dim_axes_validation():
   with pytest.raises(Exception, match='used twice'):
     ShardedExecutor(stencil, (64, 32), mesh=mesh,
                     dim_axes=[('slice', 'slice')])
+
+
+def test_inner_opts_may_name_layer_owned_keys():
+  """interpret/apply_preserve_border in inner_opts must not collide
+  with the sharded layer's own kwargs (r3 review find: TypeError)."""
+  check_sharded('blur', (64, 64), inner='pallas',
+                inner_opts={'interpret': True, 'block_rows': 16,
+                            'apply_preserve_border': True})
