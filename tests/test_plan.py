@@ -281,3 +281,14 @@ class TestEstimateMidTiling:
     assert pinned['block_rows'] == 16
     assert pinned['grid_steps'] == -(-512 // 16)
     assert base['block_rows'] != 16 or base is not pinned
+
+  def test_estimate_mirror_matches_executor_pick(self):
+    # the estimate's auto mid-tile mirror must track the REAL
+    # dispatch (MidTiledPallasExecutor's pick), or est_time drifts
+    from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+    from soda_tpu.model.estimate import estimate
+    st = corpus.build('jacobi3d', tile_size=(256, 256, 0))
+    est = estimate(st, (256, 256, 256))
+    ex = MidTiledPallasExecutor(st, (256, 256, 256), interpret=True)
+    assert est['grid_m'] == ex.grid_m
+    assert est['mid_tile'] == ex.mid_tile
