@@ -203,6 +203,72 @@ def choose_block_rows(plan: FusionPlan, shape: Tuple[int, ...],
   return best
 
 
+def transposed_lane_regions(plan: FusionPlan, stencil,
+                            transpose_lanes: str) -> set:
+  """Stage names that evaluate in transposed (lane-major) layout:
+  maximal producer-consumer chains whose loads shift ONLY along the
+  lane axis, admitted by the measured shift-vs-crossing economics
+  (see the call site in _build for the measured numbers)."""
+  dim = plan.dim
+  lane_only = {}
+  for stg in plan.stages:
+    ok = True
+    for parent, offs in stg.load_offsets.items():
+      if parent in stencil.param_names:
+        continue
+      for off in offs:
+        if any(off[d] for d in range(1, dim)):
+          ok = False
+    lane_only[stg.name] = ok
+  consumers = {stg.name: set() for stg in plan.stages}
+  for stg in plan.stages:
+    for parent in stg.tensor.ld_refs:
+      if parent in consumers:
+        consumers[parent].add(stg.name)
+  # connected components over lane-only stages (edges: producer ->
+  # consumer where both are lane-only)
+  comp: Dict[str, set] = {}
+  for stg in plan.stages:
+    if not lane_only[stg.name]:
+      continue
+    comp.setdefault(stg.name, {stg.name})
+    for parent in stg.tensor.ld_refs:
+      if lane_only.get(parent):
+        merged = comp[parent] | comp[stg.name]
+        for n in merged:
+          comp[n] = merged
+  outputs_set = set(stencil.output_names)
+  transposed = set()
+  for members in {id(c): c for c in comp.values()}.values():
+    lane_shifts = 0
+    entries = set()
+    exits = 0
+    for stg in plan.stages:
+      if stg.name not in members:
+        continue
+      for parent, offs in stg.load_offsets.items():
+        if parent in stencil.param_names:
+          continue
+        if parent not in members:
+          entries.add(parent)
+        lane_shifts += len({off[0] for off in offs if off[0]})
+      if (stg.name in outputs_set or
+          any(c not in members for c in consumers[stg.name])):
+        exits += 1
+    # measured economics (v5e): a transpose costs ~7 slots/cell —
+    # far more than first estimated — so 'auto' additionally caps
+    # the region boundary at two crossings. Measured: erosion
+    # (1 entry + 1 exit) wins +0.02-0.03 roofline, sobel2d
+    # (2 entries + 1 exit) LOSES 0.05, xcorr (3 crossings) is
+    # neutral-to-worse. 'on' applies only the shift-count test.
+    crossings = len(entries) + exits
+    if 3 * lane_shifts <= 2.5 * crossings + 4:
+      continue
+    if transpose_lanes == 'on' or crossings <= 2:
+      transposed |= members
+  return transposed
+
+
 class PallasExecutor:
   """Compile a stencil into one fused Pallas TPU kernel.
 
@@ -426,10 +492,14 @@ class PallasExecutor:
                                         compute_chunk=self.compute_chunk,
                                         prefetch=self.prefetch)
     if (block_rows is None and self.shift_mode == 'roll' and
-        len(self.shape) == 2 and self.transpose_lanes != 'off'):
+        len(self.shape) == 2 and self.transpose_lanes != 'off' and
+        transposed_lane_regions(self.plan, self.stencil,
+                                self.transpose_lanes)):
       # hybrid transposed regions crash Mosaic above 256 stream rows
       # (oversized transposed full-extent temporaries, exp22); clamp
-      # the estimator's pick — an explicit block_rows overrides
+      # the estimator's pick — an explicit block_rows overrides.
+      # Kernels where no region actually forms (e.g. blur, whose
+      # measured-best roll block is 512 rows) keep the full pick.
       b = min(b, 256)
     # b >= lo keeps interior DMA starts in bounds; b > hi keeps them
     # from clipping at the top
@@ -505,8 +575,11 @@ class PallasExecutor:
     # input-slab buffering depth: fills start depth-1 steps ahead.
     # Clamped so the look-ahead crosses at most one mid-tile boundary.
     depth = 1 if single else self.prefetch
-    if not single and self.grid_m > 1:
-      depth = min(depth, max(2, self.grid))
+    if not single:
+      # never more slabs than there are steps to fill them with
+      depth = min(depth, self.grid * self.grid_m)
+      if self.grid_m > 1:
+        depth = min(depth, max(2, self.grid))
 
     n_blocks = self.grid
 
@@ -606,61 +679,8 @@ class PallasExecutor:
     transposed = set()
     if (value_mode and dim == 2 and (roll_mode or not rotate_lanes) and
         self.transpose_lanes != 'off'):
-      lane_only = {}
-      for stg in plan.stages:
-        ok = True
-        for parent, offs in stg.load_offsets.items():
-          if parent in stencil.param_names:
-            continue
-          for off in offs:
-            if any(off[d] for d in range(1, dim)):
-              ok = False
-        lane_only[stg.name] = ok
-      consumers = {stg.name: set() for stg in plan.stages}
-      for stg in plan.stages:
-        for parent in stg.tensor.ld_refs:
-          if parent in consumers:
-            consumers[parent].add(stg.name)
-      # connected components over lane-only stages (edges: producer ->
-      # consumer where both are lane-only)
-      comp = {}
-      for stg in plan.stages:
-        if not lane_only[stg.name]:
-          continue
-        comp.setdefault(stg.name, {stg.name})
-        for parent in stg.tensor.ld_refs:
-          if lane_only.get(parent):
-            merged = comp[parent] | comp[stg.name]
-            for n in merged:
-              comp[n] = merged
-      outputs_set = set(stencil.output_names)
-      for members in {id(c): c for c in comp.values()}.values():
-        lane_shifts = 0
-        entries = set()
-        exits = 0
-        for stg in plan.stages:
-          if stg.name not in members:
-            continue
-          for parent, offs in stg.load_offsets.items():
-            if parent in stencil.param_names:
-              continue
-            if parent not in members:
-              entries.add(parent)
-            lane_shifts += len({off[0] for off in offs if off[0]})
-          if (stg.name in outputs_set or
-              any(c not in members for c in consumers[stg.name])):
-            exits += 1
-        # measured economics (v5e): a transpose costs ~7 slots/cell —
-        # far more than first estimated — so 'auto' additionally caps
-        # the region boundary at two crossings. Measured: erosion
-        # (1 entry + 1 exit) wins +0.02-0.03 roofline, sobel2d
-        # (2 entries + 1 exit) LOSES 0.05, xcorr (3 crossings) is
-        # neutral-to-worse. 'on' applies only the shift-count test.
-        crossings = len(entries) + exits
-        if 3 * lane_shifts <= 2.5 * crossings + 4:
-          continue
-        if self.transpose_lanes == 'on' or crossings <= 2:
-          transposed |= members
+      transposed = transposed_lane_regions(plan, stencil,
+                                           self.transpose_lanes)
     # Narrow 16-bit stage evaluation (value mode): stages the
     # wrap-sinking/legality analysis admits run at native i16/u16 —
     # every slab temporary, shifted load, and ALU op covers 2x the
@@ -706,6 +726,15 @@ class PallasExecutor:
       wrap garbage lands in the slab-margin cells stores clip away."""
       if interpret:
         return jnp.roll(value, -delta, axis=axis)
+      dt = value.dtype
+      if dt.itemsize < 4:
+        # same Mosaic i16 legality gap as lane_roll: roll on narrow
+        # vectors is not in the legalized set (exp12 catalog)
+        wide = jnp.float32 if dt.kind == 'f' else (
+            jnp.uint32 if dt.kind == 'u' else jnp.int32)
+        return pltpu.roll(value.astype(wide),
+                          (-delta) % value.shape[axis],
+                          axis=axis).astype(dt)
       return pltpu.roll(value, (-delta) % value.shape[axis], axis=axis)
 
     def kernel(*refs):
@@ -926,11 +955,21 @@ class PallasExecutor:
         slot_out = step % 2 if out_dma else 0
 
         def out_copy(k, slot_, ii, jj):
+          def aligned(p, blk, align):
+            # same Mosaic rule as axis_start: traced sublane DMA
+            # offsets must be PROVABLY tile-aligned; blk is a multiple
+            # of align, the //* makes that visible to the prover
+            off = p * blk
+            if align > 1 and not isinstance(p, int):
+              off = (off // align) * align
+            return off
+
           dst = out_refs[k]
           if mid_blocked:
-            dst = dst.at[pl.ds(ii * b, b), pl.ds(jj * mt, mt)]
+            dst = dst.at[pl.ds(aligned(ii, b, self.align0), b),
+                         pl.ds(aligned(jj, mt, _ALIGN), mt)]
           else:
-            dst = dst.at[pl.ds(ii * b, b)]
+            dst = dst.at[pl.ds(aligned(ii, b, self.align0), b)]
           return pltpu.make_async_copy(out_stage[k].at[slot_], dst,
                                        out_sems[k].at[slot_])
 
@@ -1331,9 +1370,10 @@ class PallasExecutor:
             # with every stream-class branch pruned at trace time
             _step(jm_, 0)
             _step(jm_, 1)
-            lax.fori_loop(
-                2, n - 2,
-                lambda s_, c: (_step(jm_, s_, steady=True), c)[1], 0)
+            if n > 4:  # n == 4 would trace a dead zero-trip body
+              lax.fori_loop(
+                  2, n - 2,
+                  lambda s_, c: (_step(jm_, s_, steady=True), c)[1], 0)
             _step(jm_, n - 2)
             _step(jm_, n - 1)
           else:
@@ -1489,10 +1529,12 @@ class MidTiledPallasExecutor(PallasExecutor):
       h, m, w_ = shape
       mlo = _pad_to(plan.halo_lo[1], _ALIGN)
       mhi = plan.halo_hi[1]
+      prefetch = int(kwargs.get('prefetch', 2))
       mid_tile = m
       while mid_tile > 8:
         ext = min(m, _pad_to(mid_tile + mlo + mhi, _ALIGN))
-        if estimate_vmem(plan, (h, ext, w_), 8, 'value') <= _VMEM_BUDGET:
+        if estimate_vmem(plan, (h, ext, w_), 8, 'value',
+                         prefetch=prefetch) <= _VMEM_BUDGET:
           break
         mid_tile //= 2
       mid_tile = max(8, mid_tile)

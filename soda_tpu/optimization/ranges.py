@@ -340,6 +340,12 @@ def narrow16_stages(stencil) -> set:
     narrow_enough = (t.width_in_bits == 16 or
                      (t.width_in_bits > 16 and
                       need.get(tensor.name, _EXACT) <= 16))
+    if t.width_in_bits > 16 and tensor.name in stencil.output_names:
+      # _wrap_need is driven by IN-GRAPH consumers only; a >16-bit
+      # OUTPUT is also stored to HBM at full declared width, so a
+      # 16-bit-needing in-graph consumer must not narrow it (the
+      # store would sign-extend a truncated value)
+      narrow_enough = False
     if not narrow_enough or tensor.lets:
       continue
     if _narrow_expr_ok(tensor.expr, int_tensors):

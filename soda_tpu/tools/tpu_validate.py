@@ -142,6 +142,12 @@ EX_VARIANTS = (
     # own Mosaic legalization coverage (exp30/exp31)
     ('jacobi3d+prefetch3', 'jacobi3d', {},
      {'stream_loop': 'peel', 'prefetch': 3}),
+    # narrow i16 stages + roll-mode stream shifts: axis_roll must
+    # widen sub-32-bit vectors for Mosaic (interpret checks only the
+    # semantics; the legality needs real hardware)
+    ('xcorr+narrow+roll', 'xcorr',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, narrow='on')),
 )
 
 

@@ -160,3 +160,45 @@ class TestDifferential:
     s = corpus.build('xcorr', tile_size=(128, 0))
     with pytest.raises(ValueError, match='narrow'):
       PallasExecutor(s, (96, 128), narrow='yes')
+
+
+class TestOutputWidthGuard:
+  """A >16-bit OUTPUT consumed in-graph must not narrow: _wrap_need is
+  driven by the in-graph consumers only, while the external HBM store
+  needs the full declared width (r3 review find)."""
+
+  def test_wide_output_with_16bit_consumer_stays_wide(self):
+    s = build_stencil(_src([
+        'output int32: b(0, 0) = a(0, 0) + a(0, 1) + a(1, 0)',
+        'output int16: c(0, 0) = int16(b(0, 0) + b(0, 1))',
+    ], in_type='int32'))
+    assert 'b' not in _narrow(s)
+
+  def test_wide_local_with_16bit_consumer_may_narrow(self):
+    # same shape but b is a LOCAL: no external store, so the in-graph
+    # 16-bit need alone governs eligibility
+    s = build_stencil(_src([
+        'local int32: b(0, 0) = a(0, 0) + a(0, 1) + a(1, 0)',
+        'output int16: c(0, 0) = int16(b(0, 0) + b(0, 1))',
+    ], in_type='int32'))
+    assert 'b' in _narrow(s)
+
+
+def test_narrow_composes_with_roll_mode():
+  """narrow='on' + shift_mode='roll': stream-axis shifts of narrow
+  stage values route through axis_roll, which must widen sub-32-bit
+  vectors for Mosaic (r3 review find; interpret checks the semantics,
+  the hardware gate checks the legality)."""
+  s = build_stencil(_src([
+      'local int16: t(0, 0) = a(0, 0) + a(0, 3) + a(3, 0)',
+      'output int16: y(0, 0) = int16(t(0, 0) + t(1, 1) + t(2, 2))',
+  ]))
+  shape = (64, 64)
+  inputs = reference.make_test_inputs(s, shape)
+  want = reference.run(s, inputs)
+  ex = PallasExecutor(s, shape, stage_mode='value', narrow='on',
+                      shift_mode='roll')
+  got = ex(inputs)
+  region = reference.output_valid_slices(s, shape, 'y')
+  np.testing.assert_array_equal(np.asarray(got['y'])[region],
+                                want['y'][region])

@@ -292,3 +292,32 @@ class TestEstimateMidTiling:
     ex = MidTiledPallasExecutor(st, (256, 256, 256), interpret=True)
     assert est['grid_m'] == ex.grid_m
     assert est['mid_tile'] == ex.mid_tile
+
+
+class TestHybridClampGating:
+  """The hybrid-roll 256-row Mosaic clamp applies only when a
+  transposed lane region actually forms (r3 review find: it clamped
+  every 2-D roll kernel, costing blur its measured 512-row block)."""
+
+  def test_blur_roll_not_clamped(self):
+    from soda_tpu.backend.pallas_kernel import (PallasExecutor,
+                                                choose_block_rows,
+                                                transposed_lane_regions)
+    st = corpus.build('blur', tile_size=(1024, 0))
+    shape = (8192, 1024)
+    ex = PallasExecutor(st, shape, stage_mode='value',
+                        shift_mode='roll', interpret=True)
+    assert not transposed_lane_regions(ex.plan, st, 'auto')
+    unclamped = choose_block_rows(ex.plan, shape, stage_mode='value')
+    assert unclamped > 256  # the scenario the gate exists for
+    assert ex.block_rows == unclamped  # budget pick survives un-clamped
+
+  def test_erosion_hybrid_still_clamped(self):
+    from soda_tpu.backend.pallas_kernel import (PallasExecutor,
+                                                transposed_lane_regions)
+    st = corpus.build('erosion', tile_size=(2048, 0),
+                      optimizations={'computation-reuse': 'greedy'})
+    ex = PallasExecutor(st, (8192, 2048), stage_mode='value',
+                        shift_mode='roll', interpret=True)
+    assert transposed_lane_regions(ex.plan, st, 'auto')
+    assert ex.block_rows <= 256
