@@ -342,6 +342,9 @@ def test_fuzz_roll_shift_and_hybrid(seed):
   modes = [{}]
   if dim == 2:  # transposed regions are 2-D machinery
     modes.append({'transpose_lanes': 'on'})
+  # narrow i16 stages compose with roll (axis_roll widens; float and
+  # ineligible programs take the knob as a no-op)
+  modes.append({'narrow': 'on'})
   for extra in modes:
     got = PallasExecutor(stencil, shape, stage_mode='value',
                          shift_mode='roll', block_rows=8, **extra)(inputs)
