@@ -43,6 +43,24 @@ def _map_refs(obj, fn):
   return obj
 
 
+def substitute_vars(obj: ir.Node, env: Mapping[str, ir.Node]) -> ir.Node:
+  """Replace scalar ``Var`` reads by the expressions bound to them.
+
+  Only names present in ``env`` are touched (stencil params stay Var
+  reads); indexed Vars (param element access, ``p[0]``) are never
+  substituted. Returns a rewritten copy; ``obj`` is not mutated.
+  """
+  if not env:
+    return obj
+
+  def callback(node, _):
+    if isinstance(node, ir.Var) and not node.idx:
+      return env.get(node.name, node)
+    return node
+
+  return obj.visit(callback)
+
+
 def shift(obj, offset: Sequence[int], excluded=(), op=operator.sub):
   """Offset every Ref index (except ``excluded`` names) pointwise.
 

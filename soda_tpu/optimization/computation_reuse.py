@@ -17,6 +17,7 @@ import logging
 import operator
 from typing import Dict, List, MutableMapping, Optional, Sequence, Tuple, Union
 
+from soda_tpu import utils
 from soda_tpu.ir import arithmetic, mutator, nodes as ir
 from soda_tpu.ir import visitor
 
@@ -72,6 +73,18 @@ class Linearizer:
       self.sizes = tuple(tile_size)[:-1] + (2 * spans[-1] - 1,)
     else:
       self.sizes = tuple(2 * span - 1 for span in spans)
+    # The balanced decode (``delta``) is unique only while every
+    # per-dimension component satisfies |component| < radix / 2, i.e.
+    # radix >= 2 * span - 1. The span-derived radices satisfy this by
+    # construction; a caller-provided tile extent smaller than the
+    # window's reach would make ``index_of`` silently alias in-box
+    # offsets — refuse it up front.
+    for d, (radix, span) in enumerate(zip(self.sizes, spans)):
+      if radix < 2 * span - 1:
+        raise utils.InputError(
+            'tile size %d in dim %d cannot disambiguate a window '
+            'spanning %d cells (needs >= %d)' % (radix, d, span,
+                                                 2 * span - 1))
     strides = [1]
     for radix in self.sizes[:-1]:
       strides.append(strides[-1] * radix)
@@ -148,9 +161,18 @@ def computation_reuse(stencil):
   from soda_tpu.optimization.cr_schedules import Expression
   from soda_tpu.frontend import ast
 
-  def cr_visitor(node: ir.Node, cses: MutableMapping) -> ir.Node:
+  def cr_visitor(node: ir.Node, args) -> ir.Node:
+    cses, env = args
     try:
-      expression = Expression(node, stencil)
+      # Close over the statement's let bindings BEFORE scheduling: the
+      # cses dict is shared across statements and its keys compare Var
+      # reads by NAME, so a subtree mentioning `k` from a statement
+      # with `let k = 3` must not unify with a same-shaped subtree from
+      # a statement with `let k = 5`. Substituting the (recursively
+      # closed, declared-type-cast) let expressions makes every stored
+      # definition self-contained — sharing is then sound by
+      # construction, and identical bindings still share.
+      expression = Expression(mutator.substitute_vars(node, env), stencil)
       if expression.best_schedule is not None:
         _logger.debug('best schedule: (cost: %s)',
                       expression.best_schedule.cost)
@@ -159,13 +181,24 @@ def computation_reuse(stencil):
       pass
     return node
 
+  def let_env(stmt) -> Dict[str, ir.Node]:
+    """name -> let-closed defining expression (declared types kept)."""
+    env: Dict[str, ir.Node] = {}
+    for let in stmt.let:
+      expr = mutator.substitute_vars(let.expr, env)
+      if let.dtype is not None:
+        expr = ir.Cast(dtype=let.dtype, expr=expr)
+      env[let.name] = expr
+    return env
+
   new_local_stmts = []
   cses: Dict[ir.Node, ir.Ref] = OrderedDict()
   emitted: Dict[str, object] = {}  # cr_var name -> its LocalStmt
   for stmt in itertools.chain(stencil.local_stmts, stencil.output_stmts):
     stmt.propagate_type()
-    stmt.expr = stmt.expr.visit(cr_visitor, cses)
-    stmt.let = tuple(let.visit(cr_visitor, cses) for let in stmt.let)
+    env = let_env(stmt)
+    stmt.expr = stmt.expr.visit(cr_visitor, (cses, env))
+    stmt.let = tuple(let.visit(cr_visitor, (cses, env)) for let in stmt.let)
     # one LocalStmt per cr_var NAME: a later statement's absolute CSE
     # may re-key an earlier definition (it then reads the shared
     # coefficient variables) or add a new variable whose definition

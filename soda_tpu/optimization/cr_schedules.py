@@ -15,7 +15,8 @@ reference :1838-1857):
   CommSchedules      exact search over binary trees (memoized, pruned)
   GreedySchedules    pairwise-reuse greedy with conflict-parity
                      handling, dimension-aligned filtering, top-5 beam
-  BeamSchedules      width-limited best-first over the same candidates
+  BeamSchedules      same candidate generator with a wider per-level
+                     beam (top-16) and a longer budget
   GloreSchedules     GLORE-style axis/diagonal direction grouping
   ExternalSchedules  subprocess C++ scheduler, JSON protocol
                      (same protocol as the reference's soda-cr binary)
@@ -614,10 +615,15 @@ class GreedySchedules(ScheduleBase):
 
   def _axis_aligned(self, distance: int, dim: int) -> bool:
     """True iff two points ``distance`` apart differ in exactly
-    dimension ``dim``."""
-    delta = self.linearizer(distance)
-    return all((d == dim) == (val != lo) for d, (val, lo)
-               in enumerate(zip(delta, self.linearizer.mins)))
+    dimension ``dim``.
+
+    ``distance`` is a RELATIVE offset, so it must be decoded with the
+    balanced ``delta`` — the floor-based ``restore`` mis-reads negative
+    components under tile radices (e.g. true delta (-2, +1) restores to
+    (radix-2, 0), falsely classifying a diagonal reuse as dim-0
+    aligned and degrading the single-dimension pruning filter)."""
+    digits = self.linearizer.delta(distance)
+    return all((d == dim) == (digit != 0) for d, digit in enumerate(digits))
 
   @property
   def generator(self) -> Iterator[CommSchedule]:
@@ -659,9 +665,15 @@ class GreedySchedules(ScheduleBase):
 
 
 class BeamSchedules(GreedySchedules):
-  """Width-limited variant: wider beam, longer budget."""
+  """Greedy search with a wider per-level pruning width and a longer
+  budget: keeps the 16 best candidate operations at every recursion
+  level (vs greedy's 5), exploring a genuinely larger schedule space at
+  higher cost (role of reference computation_reuse.py:1318's best-first
+  beam; same candidate generator here, widened rather than re-ordered
+  because greedy's cost-sorted nsmallest already visits candidates
+  best-first within a level)."""
   timeout = 5.0
-  num_pruned = 5
+  num_pruned = 16
 
 
 class GloreSchedules(ScheduleBase):
@@ -747,7 +759,12 @@ class ExternalSchedules(ScheduleBase):
 
   def __init__(self, rattrs, aattrs=None, linearizer=None, cache=None):
     super().__init__(rattrs, aattrs, linearizer, cache)
-    self.cmd = [find_external_cr()]
+    binary = find_external_cr()
+    if binary is None:
+      raise utils.InputError(
+          'external computation-reuse scheduler requested but no %s '
+          'binary is on PATH' % '/'.join(self.BINARIES))
+    self.cmd = [binary]
 
   @cached_property
   def best(self) -> CommSchedule:
@@ -833,7 +850,14 @@ class Expression:
       aattr_nodes.append(norm)
     self.tensor_name = tensor_name
     tile_size = getattr(stencil, 'tile_size', ())
-    self.linearizer = Linearizer(rattrs, tile_size)
+    try:
+      self.linearizer = Linearizer(rattrs, tile_size)
+    except utils.InputError:
+      # tile extents smaller than a window's reach cannot serve as
+      # decode radices (the balanced decode would alias); fall back to
+      # span-derived radices — still a valid bijection, just no longer
+      # directly comparable to serialized tile positions
+      self.linearizer = Linearizer(rattrs)
     order = sorted(range(len(rattrs)),
                    key=lambda i: self.linearizer.apply(rattrs[i]))
     self.rattrs = tuple(self.linearizer.apply(rattrs[i]) for i in order)

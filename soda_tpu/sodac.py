@@ -311,7 +311,22 @@ def _run(stencil, args, kernel_opts) -> int:
   """Execute on random inputs and verify against the NumPy oracle —
   the analog of running the generated host with SODA_TEST_MAIN."""
   import numpy as np
+  from soda_tpu import utils as _utils
   from soda_tpu.backend import reference
+
+  # the TPU tunnel HANGS jax.devices() (never raises) when it is down;
+  # probe in a SUBPROCESS (an in-thread probe would poison this
+  # process's backend-init lock on timeout) and degrade to CPU loudly
+  # rather than hang forever. Skip the probe when CPU is already the
+  # configured platform (tests, explicit JAX_PLATFORMS=cpu).
+  import jax
+  cpu_only = (jax.config.jax_platforms or '').split(',') == ['cpu']
+  if not cpu_only and not _utils.device_reachable(timeout_s=20.0):
+    logging.getLogger().warning(
+        'no device answered within 20 s (TPU tunnel down?) — '
+        'falling back to CPU (Pallas in interpret mode)')
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
   shape = _parse_ints(args.shape) if args.shape else _default_shape(stencil)
   inputs = reference.make_test_inputs(stencil, shape, seed=args.seed)

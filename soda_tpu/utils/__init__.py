@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import sys
 from typing import Dict, Iterable, List, Sequence, Set, Tuple, TypeVar
 
 COORDS_TILED = 'xyzw'
@@ -143,3 +144,25 @@ def probe_devices(timeout_s: float):
   t.start()
   t.join(timeout_s)
   return box[0] if box else None
+
+
+def device_reachable(timeout_s: float) -> bool:
+  """Bounded device check in a SUBPROCESS — safe to call before this
+  process touches any jax backend.
+
+  The in-thread ``probe_devices`` poisons the process on timeout: the
+  abandoned thread keeps holding jax's backend-init lock inside the
+  hung tunnel handshake, so every later backend lookup (even for CPU)
+  blocks forever. Probing in a child process keeps the parent's
+  backend state untouched, so a CPU fallback still works after a
+  timeout. Costs a child-interpreter jax import (~2-4 s) on success.
+  """
+  import subprocess
+  try:
+    proc = subprocess.run(
+        [sys.executable, '-c', 'import jax; jax.devices()'],
+        timeout=timeout_s, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    return proc.returncode == 0
+  except (subprocess.TimeoutExpired, OSError):
+    return False

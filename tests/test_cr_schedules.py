@@ -454,3 +454,130 @@ class TestIdempotentWindow:
     pl = planmod.make_plan(st, 'full')
     m = estimate.op_model(st, pl, lanes=2048)
     assert m['arith']['add'] == 13.0
+
+
+# --- round-3 adversarial-review regression tests ---------------------------
+
+
+_LET_SHADOW_SRC = """
+kernel: lets
+burst width: 32
+iterate: 1
+unroll factor: 1
+input uint16: a(32, *)
+output uint16:
+  uint16 k = 3
+  c(0, 0) = k * a(0, 0) + k * a(1, 0) + k * a(0, 1) + k * a(1, 1)
+output uint16:
+  uint16 k = 5
+  d(0, 0) = k * a(0, 0) + k * a(1, 0) + k * a(0, 1) + k * a(1, 1)
+"""
+
+
+def test_cse_does_not_merge_same_named_lets():
+  """Cross-statement CSE is keyed on let-CLOSED subtrees: two
+  statements binding the same let name to different values must not
+  share a coefficient variable (found by adversarial review: the
+  shared cses dict compared Var reads by name, silently computing the
+  first statement's let value for both outputs)."""
+  from soda_tpu.api import build_stencil
+  plain = build_stencil(_LET_SHADOW_SRC)
+  shape = (12, 32)
+  inputs = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, inputs)
+  crs = build_stencil(_LET_SHADOW_SRC,
+                      optimizations={'computation-reuse': 'greedy'})
+  got = reference.run(crs, inputs)
+  for out in ('c', 'd'):
+    region = reference.output_valid_slices(crs, shape, out)
+    np.testing.assert_array_equal(got[out][region], want[out][region])
+
+
+def test_identical_lets_still_share():
+  """The sound half of cross-statement sharing: identical bindings
+  (here both statements bind k = 3) still unify — the coefficient
+  product is COMPUTED in exactly one definition and read elsewhere,
+  while distinct bindings compute one product per binding."""
+  from soda_tpu.api import build_stencil
+
+  def product_defs(stencil):
+    return sum('* a(' in str(s.expr) for s in stencil.local_stmts)
+
+  same = build_stencil(_LET_SHADOW_SRC.replace('uint16 k = 5',
+                                               'uint16 k = 3'),
+                       optimizations={'computation-reuse': 'greedy'})
+  distinct = build_stencil(_LET_SHADOW_SRC,
+                           optimizations={'computation-reuse': 'greedy'})
+  assert product_defs(same) == 1
+  assert product_defs(distinct) == 2
+
+
+def test_linearizer_rejects_undersized_tile_radix():
+  """The balanced decode aliases when a tile radix is below the
+  window's 2*span-1 reach; the Linearizer must refuse instead of
+  silently mis-decoding (review finding: a(0,0)+a(1,0)+a(4,0)+a(5,0)
+  on an 8-wide tile lowered a read of (+4, 0) as (-4, +1))."""
+  import pytest as _pytest
+  from soda_tpu import utils
+  with _pytest.raises(utils.InputError):
+    Linearizer([(0, 0), (5, 0)], tile_size=(8, 0))
+
+
+def test_small_tile_cr_degrades_to_span_radices():
+  """Expression falls back to span-derived radices when the tile is
+  too small — CR still fires and stays numerically exact."""
+  from soda_tpu.api import build_stencil
+  src = """
+kernel: narrowtile
+burst width: 32
+iterate: 1
+unroll factor: 1
+input uint16: a(8, *)
+output uint16: c(0, 0) = a(0, 0) + a(1, 0) + a(4, 0) + a(5, 0)
+"""
+  plain = build_stencil(src)
+  shape = (12, 8)
+  inputs = reference.make_test_inputs(plain, shape)
+  want = reference.run(plain, inputs)
+  crs = build_stencil(src, optimizations={'computation-reuse': 'greedy'})
+  got = reference.run(crs, inputs)
+  region = reference.output_valid_slices(crs, shape, 'c')
+  np.testing.assert_array_equal(got['c'][region], want['c'][region])
+
+
+def test_axis_aligned_uses_balanced_decode():
+  """_axis_aligned must decode RELATIVE distances with delta(), not
+  the floor-based restore (review finding: true delta (-2, +1) restored
+  to (radix-2, 0) and was kept by the dim-0 pruning filter)."""
+  lin = Linearizer([(dx, dy) for dx in range(-2, 3) for dy in range(0, 2)])
+  sched = cr.GreedySchedules(
+      tuple(lin.apply(r) for r in [(-2, 0), (0, 0), (2, 1)]),
+      linearizer=lin)
+  diagonal = lin.apply((0, 1)) - lin.apply((2, 0))  # true delta (-2, +1)
+  assert not sched._axis_aligned(diagonal, 0)
+  assert not sched._axis_aligned(diagonal, 1)
+  axis0 = lin.apply((2, 0)) - lin.apply((-1, 0))
+  assert sched._axis_aligned(axis0, 0)
+  assert not sched._axis_aligned(axis0, 1)
+
+
+def test_beam_is_wider_than_greedy():
+  """'beam' must explore a wider candidate set than 'greedy', not be a
+  rename (review finding: both had num_pruned = 5)."""
+  assert cr.BeamSchedules.num_pruned > cr.GreedySchedules.num_pruned
+  # and it still produces exact-cover schedules of matching quality
+  st = corpus.build('jacobi2d',
+                    optimizations={'computation-reuse': 'beam'})
+  assert any(n.startswith('cr_var_') for n in st.local_names)
+
+
+def test_external_schedules_missing_binary_raises_cleanly(monkeypatch):
+  """Constructing ExternalSchedules with no binary on PATH must raise
+  InputError, not TypeError from deep inside subprocess."""
+  import pytest as _pytest
+  from soda_tpu import utils
+  monkeypatch.setattr(cr.ExternalSchedules, 'BINARIES',
+                      ('no-such-soda-cr-binary',))
+  monkeypatch.setattr(cr, 'find_external_cr', lambda: None)
+  with _pytest.raises(utils.InputError):
+    cr.ExternalSchedules((0, 1, 2, 3))

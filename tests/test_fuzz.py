@@ -380,12 +380,24 @@ def gen_multi_output_program(rng: np.random.Generator) -> str:
     name = 't%d' % k
     lines.append('local %s: %s(0, 0) = %s' % (t, name, ' + '.join(taps)))
     names.append(name)
+  # a third of programs bind a let named `k` in BOTH outputs — with
+  # different values half the time (the round-3 review's miscompile
+  # class: cross-statement CSE must key on let-CLOSED subtrees)
+  with_lets = rng.integers(0, 3) == 0
+  let_vals = ((3, 3) if rng.integers(0, 2) else (3, 5)) if with_lets else None
   for o in range(2):
     parent = names[rng.integers(1, len(names))] if len(names) > 1 \
         else 'src'
     a, b = idx(), idx()
-    lines.append('output dram %d %s: o%d(0, 0) = %s(%d, %d) + %s(%d, %d)'
-                 % (o, t, o, parent, a[0], a[1], parent, b[0], b[1]))
+    if with_lets and not is_float:
+      lines.append('output dram %d %s:\n  %s k = %d\n'
+                   '  o%d(0, 0) = k * %s(%d, %d) + k * %s(%d, %d)'
+                   % (o, t, t, let_vals[o], o,
+                      parent, a[0], a[1], parent, b[0], b[1]))
+    else:
+      lines.append(
+          'output dram %d %s: o%d(0, 0) = %s(%d, %d) + %s(%d, %d)'
+          % (o, t, o, parent, a[0], a[1], parent, b[0], b[1]))
   return '\n'.join(lines)
 
 

@@ -33,3 +33,26 @@ def test_toposort_detects_cycle():
 def test_toposort_insertion_order():
   graph = {'z': set(), 'y': set(), 'x': {'z'}}
   assert utils.toposort_flatten(graph, sort=False) == ['z', 'y', 'x']
+
+
+def test_device_reachable_times_out_cleanly(monkeypatch):
+  """A hung tunnel must yield False within the bound, never an
+  exception (the in-thread probe poisons jax's backend-init lock on
+  timeout, so the CLI pre-flight uses this subprocess probe)."""
+  import subprocess
+
+  def fake_run(*a, **k):
+    raise subprocess.TimeoutExpired(cmd='probe', timeout=k['timeout'])
+
+  monkeypatch.setattr(subprocess, 'run', fake_run)
+  assert utils.device_reachable(timeout_s=0.1) is False
+
+
+def test_device_reachable_true_on_success(monkeypatch):
+  import subprocess
+  import types
+
+  monkeypatch.setattr(
+      subprocess, 'run',
+      lambda *a, **k: types.SimpleNamespace(returncode=0))
+  assert utils.device_reachable(timeout_s=1.0) is True
