@@ -315,6 +315,8 @@ class ShardedExecutor:
           jax.device_put(arr, NamedSharding(self.mesh, P(*axes))))
     params = dict(params or {})
     for name in stencil.param_names:
+      if name not in params:
+        raise utils.InputError('missing param: %s' % name)
       args.append(
           jax.device_put(jnp.asarray(params[name]),
                          NamedSharding(self.mesh, P())))
