@@ -60,9 +60,9 @@ struct Parser {
   }
   int64_t parse_int() {
     skip();
-    size_t end;
-    int64_t v = std::stoll(s.substr(pos), &end);
-    pos += end;
+    char* end = nullptr;
+    int64_t v = std::strtoll(s.c_str() + pos, &end, 10);
+    pos = static_cast<size_t>(end - s.c_str());
     return v;
   }
   std::string parse_string() {
@@ -108,15 +108,17 @@ Input parse_input(const std::string& text) {
     } else if (key == "linearizer") {
       in.has_linearizer = true;
       p.expect('{');
-      do {
-        std::string lk = p.parse_string();
-        p.expect(':');
-        auto arr = p.parse_int_array();
-        if (lk == "maxs") in.lin_maxs = arr;
-        else if (lk == "mins") in.lin_mins = arr;
-        else if (lk == "sizes") in.lin_sizes = arr;
-      } while (p.consume(','));
-      p.expect('}');
+      if (!p.consume('}')) {
+        do {
+          std::string lk = p.parse_string();
+          p.expect(':');
+          auto arr = p.parse_int_array();
+          if (lk == "maxs") in.lin_maxs = arr;
+          else if (lk == "mins") in.lin_mins = arr;
+          else if (lk == "sizes") in.lin_sizes = arr;
+        } while (p.consume(','));
+        p.expect('}');
+      }
     } else {
       std::fprintf(stderr, "unknown key: %s\n", key.c_str());
       std::exit(1);
@@ -149,14 +151,31 @@ struct Linearizer {
     }
     return out;
   }
-  // distance aligns with dim iff indices differ only in that dim
+  // Signed per-dimension delta of a RELATIVE linear offset, BALANCED
+  // decode (centered residue per radix) — floor/truncating decode
+  // misreads mixed-sign deltas like (dx=-1, dy=+1) as an axis-aligned
+  // (size-1, 0), exactly the Python-side _axis_aligned defect fixed in
+  // review pass 7 (soda_tpu/optimization/computation_reuse.py delta()).
+  std::vector<int64_t> delta(int64_t offset) const {
+    std::vector<int64_t> out(mins.size());
+    for (size_t d = 0; d + 1 < mins.size(); ++d) {
+      int64_t radix = sizes[d];
+      int64_t digit =
+          ((offset + radix / 2) % radix + radix) % radix - radix / 2;
+      out[d] = digit;
+      offset = (offset - digit) / radix;
+    }
+    out[mins.size() - 1] = offset;
+    return out;
+  }
+  // distance aligns with dim iff the delta is nonzero only in that dim
   bool aligns(int64_t dis, size_t dim) const {
-    auto idx = restore(dis);
-    for (size_t d = 0; d < idx.size(); ++d) {
+    auto dl = delta(dis);
+    for (size_t d = 0; d < dl.size(); ++d) {
       if (d == dim) {
-        if (idx[d] == mins[d]) return false;
+        if (dl[d] == 0) return false;
       } else {
-        if (idx[d] != mins[d]) return false;
+        if (dl[d] != 0) return false;
       }
     }
     return true;
