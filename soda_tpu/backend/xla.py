@@ -157,6 +157,9 @@ class XlaExecutor:
                                (name, arr.shape, self.shape))
       arrays[name] = semantics.wrap(jnp, arr, stencil.symbol_table[name])
     params = {k: jnp.asarray(v) for k, v in dict(params or {}).items()}
+    for name in stencil.param_names:
+      if name not in params:
+        raise utils.InputError('missing param: %s' % name)
     for fn in self._group_fns:
       arrays.update(fn(arrays, params))
     outs = {name: arrays[name] for name in stencil.output_names}
