@@ -219,7 +219,16 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   cells = float(np.prod(shape))
   in_bytes, out_bytes = stream_bytes(stencil, shape)
   est_iter = (in_bytes + out_bytes) / (peak_gbps * 1e9)
-  dt, compile_s = slope_time(ex.fn, args, chain_idx, est_iter)
+  # the seed config itself can stop compiling (remote compile-server
+  # fleet regressions: exp28 saw blur's roll-b512 seed HTTP-500 three
+  # times in one session) — fall through to the probe candidates
+  # instead of failing the kernel outright
+  try:
+    dt, compile_s = slope_time(ex.fn, args, chain_idx, est_iter)
+  except Exception as e:  # noqa: BLE001 - Mosaic compile regression
+    log('%s: seed config failed (%s); probing fallbacks'
+        % (name, str(e).splitlines()[0][:90]))
+    dt, compile_s = float('inf'), 0.0
 
   # measured candidate probe: the VMEM estimator is deliberately
   # conservative and lane-shift mode is workload-dependent, so try a
@@ -256,11 +265,16 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     # the price of the rolling fill (halo re-reads)
     candidates.append({'stream_loop': 'peel', 'prefetch': 3})
   candidates = [c for c in candidates if c != cached_cfg]
+  # last-resort reset: the builder's plain defaults (window mode, auto
+  # everything, no seed opts at all) — only wins when the seed and all
+  # richer candidates crash the compiler
+  candidates.append({'_bare': True})
   for cand in candidates:
-    if over_budget():
+    if over_budget() and np.isfinite(dt):
       break
     try:
-      trial = PallasExecutor(stencil, shape, **{**ex_opts, **cand})
+      opts = {} if cand.get('_bare') else {**ex_opts, **cand}
+      trial = PallasExecutor(stencil, shape, **opts)
       trial_dt, _ = slope_time(trial.fn, args, chain_idx, est_iter,
                                reps=2)
     except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep safe pick
@@ -268,6 +282,8 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     if trial_dt < dt:
       dt, ex, best_cand = trial_dt, trial, cand
       log('%s: probe accepted %s (%.3f ms)' % (name, cand, dt * 1e3))
+  if not np.isfinite(dt):
+    raise RuntimeError('%s: every config failed to compile' % name)
   try:
     ttable = autotune._load(tpath)  # re-read: other kernels wrote too
     # always record THIS run's winner: keeping a historical best-ever
@@ -280,7 +296,8 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
                     # winning candidate) — the cache is shared with
                     # tools/autotune.py, which must reconstruct exactly
                     # what was timed
-                    'config': {**ex_opts, **best_cand},
+                    'config': ({} if best_cand.get('_bare')
+                               else {**ex_opts, **best_cand}),
                     'ms': round(dt * 1e3, 4)}
     autotune._store(tpath, ttable)
   except OSError:
