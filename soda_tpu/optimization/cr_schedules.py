@@ -369,48 +369,99 @@ class ScheduleBase:
     pass
 
 
-class CommSchedules(ScheduleBase):
-  """Exact schedule search.
+class _SearchTimeout(Exception):
+  """Internal: unwinds the lazy enumeration when the deadline fires."""
 
-  Enumerates binary trees over the operand multiset with memoization on
-  the normalized sub-multiset, pruning duplicates by unique-expression
-  signature, with a global timeout that degrades to best-so-far
-  (the reference behaves the same way, computation_reuse.py:960,1073).
+
+class _Sub:
+  """Memoized lazy enumeration state for one normalized sub-multiset.
+
+  ``items`` is the materialized prefix; ``gen`` the live producer (None
+  once exhausted or after a timeout unwound through it); ``complete``
+  marks a finished enumeration; ``bound`` is the branch-and-bound cap
+  (best num_ops seen for this subproblem, initialized to the linear
+  op count)."""
+
+  __slots__ = ('items', 'gen', 'complete', 'bound')
+
+  def __init__(self, n_operands: int):
+    self.items: List[CommSchedule] = []
+    self.gen: Optional[Iterator[CommSchedule]] = None
+    self.complete = False
+    self.bound = n_operands  # >= any tree's num_ops (n-1 linear)
+
+
+def middle_out(n: int) -> Iterator[int]:
+  """0..n-1 ordered middle-first (balanced splits explored first).
+
+  Role of reference computation_reuse.py:159-177 ``range_from_middle``:
+  balanced left/right partitions maximize early subtree sharing, so the
+  first schedules yielded are already good — which is what makes the
+  timeout's best-so-far degrade useful on large windows."""
+  yield from sorted(range(n), key=lambda m: (abs(2 * m - (n - 1)), m))
+
+
+class CommSchedules(ScheduleBase):
+  """Exact schedule search (lazy middle-out branch-and-bound DP).
+
+  Enumerates binary trees over the operand multiset lazily: left
+  subset sizes middle-out (balanced splits first), subproblems
+  memoized on the normalized sub-multiset, duplicate trees pruned by
+  unique-expression signature, pairings skipped when a subtree's op
+  count already exceeds the subproblem's best-so-far (partial-cost
+  branch-and-bound), and a global timeout that degrades to
+  best-so-far. The reference search has the same shape
+  (computation_reuse.py:959-1132: range_from_middle exploration,
+  ``skip``/max_cost pruning, 300 s timeout degrading to best); this
+  one additionally seeds the bound with the greedy scheduler's result
+  on large inputs, so ``optimal`` never returns worse than greedy.
+
+  After ``best``: ``result_mode`` is ``'exact'`` (enumeration
+  completed) or ``'timeout-best-so-far'``; ``result_source`` is
+  ``'search'`` or ``'greedy-seed'`` (large input, search did not beat
+  the seed before the deadline).
   """
 
   timeout = 30.0
-  # beyond this operand count exhaustive search is impractical in-process;
-  # degrade to the greedy scheduler (the reference degrades via its 300 s
-  # timeout to best-so-far, which is equivalent in effect)
-  max_exact_operands = 10
-  # ablation toggles (interface role of reference :920-932; the knob
-  # set matches THIS search's real optimizations: sub-multiset
-  # memoization and unique-expression-signature dedup)
+  # ablation toggles (interface role of reference :920-932): `caching`
+  # = the sub-multiset memo table; `dedup` = signature-based candidate
+  # pruning; `reorder-exploration` = middle-out split order;
+  # `skip-with-partial-cost` = the branch-and-bound subtree filter
+  # (the latter two use the reference's own knob names).
   memoize = True
   dedup = True
+  reorder = True
+  skip = True
 
   def __init__(self, rattrs, aattrs=None, linearizer=None, cache=None):
     super().__init__(rattrs, aattrs, linearizer, cache)
     self._memo: Dict = cache if cache is not None else {}
     self._deadline = None
     self.stat = {'cache_hit': 0, 'cache_miss': 0, 'schedules': 0}
+    self.result_mode: Optional[str] = None
+    self.result_source: Optional[str] = None
 
   @classmethod
   def set_optimizations(cls, opts) -> None:
     """Toggle search optimizations for ablation studies.
 
-    Accepted (each with a ``no-`` prefix to disable): ``caching`` (the
-    sub-multiset memo table) and ``dedup`` (signature-based candidate
-    pruning). Both ablations preserve the search result; tests assert
-    that (the reference runs its scheduler test matrix the same way,
-    test_computation_reuse.py:211-240).
+    Accepted (each with a ``no-`` prefix to disable): ``caching``,
+    ``dedup``, ``reorder-exploration``, ``skip-with-partial-cost``.
+    All ablations preserve the search result on inputs the search
+    completes; tests assert that (the reference runs its scheduler
+    test matrix the same way, test_computation_reuse.py:211-240).
     """
     for opt in opts:
       name = opt[3:] if opt.startswith('no-') else opt
+      on = not opt.startswith('no-')
       if name == 'caching':
-        cls.memoize = not opt.startswith('no-')
+        cls.memoize = on
       elif name == 'dedup':
-        cls.dedup = not opt.startswith('no-')
+        cls.dedup = on
+      elif name == 'reorder-exploration':
+        cls.reorder = on
+      elif name == 'skip-with-partial-cost':
+        cls.skip = on
       else:
         raise utils.InputError('unknown optimization toggle: %s' % opt)
 
@@ -420,91 +471,157 @@ class CommSchedules(ScheduleBase):
     rate = hit / (hit + miss) if hit + miss else 0.0
     log('cache: | hit: %d | miss: %d | hit rate: %2.3f %% | '
         'schedules: %d', hit, miss, rate * 100, self.stat['schedules'])
+    if self.result_mode is not None:
+      log('result: | mode: %s | source: %s |', self.result_mode,
+          self.result_source)
 
-  def _candidates(self, operands: Tuple[Tuple[int, Payload], ...]
-                  ) -> List[CommSchedule]:
-    """All structurally distinct schedules over normalized operands."""
-    if len(operands) == 1:
-      raise utils.InternalError('cannot schedule a single operand')
-    key = operands
-    if self.memoize:
-      hit = self._memo.get(key)
-      if hit is not None:
-        self.stat['cache_hit'] += 1
-        return hit
+  def _check_deadline(self) -> None:
+    if self._deadline is not None and time.monotonic() > self._deadline:
+      raise _SearchTimeout
+
+  def _iter_sub(self, operands: Tuple[Tuple[int, Payload], ...]
+                ) -> Iterator[CommSchedule]:
+    """Replay-then-extend iterator over one memoized subproblem.
+
+    Multiple consumers (the nested Cartesian loops) share one
+    materialized prefix and one live producer; a timeout that kills
+    the producer marks ``gen`` dead, and a later query (same shared
+    cache) resumes with a fresh producer whose dedup set is pre-seeded
+    from the materialized items, so already-yielded trees are not
+    produced twice and a truncated run never poisons the cache."""
+    sub = self._memo.get(operands) if self.memoize else None
+    if sub is None:
       self.stat['cache_miss'] += 1
-    results: Dict[FrozenSet, CommSchedule] = {}
-    kept: List[CommSchedule] = []
-    n = len(operands)
-    if n == 2:
-      (r0, a0), (r1, a1) = operands
-      sched = CommSchedule(a0, a1, r1 - r0)
-      self.stat['schedules'] += 1
+      sub = _Sub(len(operands))
+      sub.gen = self._generate(operands, sub)
       if self.memoize:
-        self._memo[key] = [sched]
-      return [sched]
-    indices = list(range(n))
-    truncated = False
-    # left subset always contains operand 0 (fixes tree orientation)
-    for bits in range(0, 1 << (n - 1)):
-      if self._deadline and time.monotonic() > self._deadline:
-        truncated = True
-        break
-      left_idx = [0] + [i + 1 for i in range(n - 1) if bits & (1 << i)]
-      if len(left_idx) == n:
-        continue
-      left_set = set(left_idx)
-      right_idx = [i for i in indices if i not in left_set]
-      left_ops = tuple(operands[i] for i in left_idx)
-      right_ops = tuple(operands[i] for i in right_idx)
-      l_origin = left_ops[0][0]
-      r_origin = right_ops[0][0]
-      l_norm = tuple((r - l_origin, a) for r, a in left_ops)
-      r_norm = tuple((r - r_origin, a) for r, a in right_ops)
-      lefts = ([left_ops[0][1]] if len(left_ops) == 1 else
-               self._candidates(l_norm))
-      rights = ([right_ops[0][1]] if len(right_ops) == 1 else
-                self._candidates(r_norm))
-      for l in lefts:
-        for r in rights:
-          sched = CommSchedule(l, r, r_origin - l_origin)
-          self.stat['schedules'] += 1
-          if not self.dedup:
-            kept.append(sched)
+        self._memo[operands] = sub
+    else:
+      self.stat['cache_hit'] += 1
+    i = 0
+    while True:
+      while i < len(sub.items):
+        yield sub.items[i]
+        i += 1
+      if sub.complete:
+        return
+      if sub.gen is None:  # producer was killed by an earlier timeout
+        sub.gen = self._generate(operands, sub, resume=True)
+      try:
+        nxt = next(sub.gen)
+      except StopIteration:
+        sub.complete, sub.gen = True, None
+        return
+      except _SearchTimeout:
+        sub.gen = None
+        raise
+      sub.items.append(nxt)
+
+  def _generate(self, operands: Tuple[Tuple[int, Payload], ...],
+                sub: _Sub, resume: bool = False) -> Iterator[CommSchedule]:
+    """Produce structurally distinct schedules over normalized
+    operands, balanced splits first, subtree-cost pruned.
+
+    ``resume=True`` rebuilds a producer killed by a timeout: the dedup
+    set is pre-seeded with the materialized items' signatures so only
+    genuinely new trees are yielded (with dedup ablated off, a resumed
+    producer may re-yield duplicates — harmless: candidates are only
+    cost-compared)."""
+    n = len(operands)
+    if n < 2:
+      raise utils.InternalError('cannot schedule a single operand')
+    if n == 2:
+      if resume and sub.items:
+        return
+      (r0, a0), (r1, a1) = operands
+      self.stat['schedules'] += 1
+      sub.bound = 1
+      yield CommSchedule(a0, a1, r1 - r0)
+      return
+    sigs: Set[FrozenSet] = set()
+    if resume and self.dedup:
+      sigs = {frozenset(s.uniq_expr_set) for s in sub.items}
+    sizes = middle_out(n - 1) if self.reorder else iter(range(n - 1))
+    # left subset always contains operand 0 (fixes tree orientation);
+    # m = how many of the remaining n-1 operands join it
+    for m in sizes:
+      for selection in itertools.combinations(range(1, n), m):
+        self._check_deadline()
+        left_idx = (0,) + selection
+        left_set = set(left_idx)
+        right_idx = tuple(i for i in range(n) if i not in left_set)
+        left_ops = tuple(operands[i] for i in left_idx)
+        right_ops = tuple(operands[i] for i in right_idx)
+        l_origin = left_ops[0][0]
+        r_origin = right_ops[0][0]
+        lefts = ([left_ops[0][1]] if len(left_ops) == 1 else
+                 self._iter_sub(tuple((r - l_origin, a)
+                                      for r, a in left_ops)))
+        for l in lefts:
+          l_cost = 1 + (l.num_ops if isinstance(l, CommSchedule) else 0)
+          if self.skip and l_cost > sub.bound:
             continue
-          sig = frozenset(sched.uniq_expr_set)
-          prev = results.get(sig)
-          if prev is None:
-            results[sig] = sched
-    out = kept if not self.dedup else list(results.values())
-    # a deadline-truncated enumeration must not poison the shared
-    # cache: later (possibly deadline-free) queries would silently
-    # reuse the incomplete candidate list. Re-check the clock: a CHILD
-    # recursion may have truncated after this frame's last own check
-    # (the deadline is monotonic, so a fired deadline is still fired)
-    if self.memoize and not truncated and not (
-        self._deadline and time.monotonic() > self._deadline):
-      self._memo[key] = out
-    return out
+          rights = ([right_ops[0][1]] if len(right_ops) == 1 else
+                    self._iter_sub(tuple((r - r_origin, a)
+                                         for r, a in right_ops)))
+          for r in rights:
+            r_cost = 1 + (r.num_ops if isinstance(r, CommSchedule)
+                          else 0)
+            if self.skip and r_cost > sub.bound:
+              continue
+            sched = CommSchedule(l, r, r_origin - l_origin)
+            self.stat['schedules'] += 1
+            if self.dedup:
+              sig = frozenset(sched.uniq_expr_set)
+              if sig in sigs:
+                continue
+              sigs.add(sig)
+            sub.bound = min(sub.bound, sched.num_ops)
+            yield sched
+
+  # past this operand count, pre-seed the branch-and-bound cap (and
+  # the best-so-far answer) with the greedy scheduler: exhaustive
+  # enumeration cannot complete, so the timeout's best-so-far should
+  # start no worse than the heuristic result
+  seed_threshold = 10
 
   @cached_property
   def best(self) -> CommSchedule:
-    if len(self.rattrs) > self.max_exact_operands:
-      _logger.warning(
-          'exact search impractical for %d operands; degrading to greedy',
-          len(self.rattrs))
-      return GreedySchedules(self.rattrs, self.aattrs,
-                             self.linearizer).best
     origin = self.rattrs[0]
     operands = tuple((r - origin, a) for r, a in self)
-    self._deadline = time.monotonic() + self.timeout
     best = None
-    for sched in self._candidates(operands):
-      if best is None or sched.num_ops < best.num_ops or (
-          sched.num_ops == best.num_ops and sched.cost < best.cost):
-        best = sched
+    self.result_mode, self.result_source = 'exact', 'search'
+    if len(operands) > self.seed_threshold:
+      best = GreedySchedules(self.rattrs, self.aattrs,
+                             self.linearizer).best
+      self.result_source = 'greedy-seed'
+    self._deadline = time.monotonic() + self.timeout
+    if best is not None and self.memoize and len(operands) >= 2:
+      # thread the seed's cost into the root's branch-and-bound cap
+      # (prime the root subproblem: _iter_sub creates it lazily)
+      root = self._memo.get(operands)
+      if root is None:
+        root = _Sub(len(operands))
+        root.gen = self._generate(operands, root)
+        self._memo[operands] = root
+        self.stat['cache_miss'] += 1
+        self.stat['cache_hit'] -= 1  # _iter_sub will re-count it as a hit
+      root.bound = min(root.bound, best.num_ops)
+    try:
+      for sched in self._iter_sub(operands):
+        if best is None or sched.num_ops < best.num_ops or (
+            sched.num_ops == best.num_ops and sched.cost < best.cost):
+          best = sched
+          self.result_source = 'search'
+    except _SearchTimeout:
+      self.result_mode = 'timeout-best-so-far'
+      _logger.warning(
+          'exact search timed out after %.1fs on %d operands; returning '
+          'best-so-far (source: %s)', self.timeout, len(operands),
+          self.result_source)
     if best is None:
       best = linear_schedule(tuple(self))
+      self.result_source = 'linear-fallback'
     return best
 
 

@@ -7,6 +7,7 @@ jacobi2d 5-point -> 3 ops, 3x3 ones -> 4 ops / distance <= 12,
 tests assert the CR-rewritten stencil stays numerically identical.
 """
 
+import logging
 import os
 
 import numpy as np
@@ -120,9 +121,84 @@ def test_print_stats_reports_cache_traffic():
   _ = schedules.best
   lines = []
   schedules.print_stats(lambda fmt, *a: lines.append(fmt % a))
-  assert len(lines) == 1 and 'hit' in lines[0]
+  assert len(lines) == 2 and 'hit' in lines[0]
+  assert 'mode: exact' in lines[1] and 'source: search' in lines[1]
   assert schedules.stat['cache_hit'] > 0
   assert schedules.stat['schedules'] > 0
+
+
+class TestCommSchedulesWithoutReorder(TestCommSchedules):
+  """Ablation: middle-out split ordering changes exploration order,
+  not the completed-search result."""
+
+  @pytest.fixture(autouse=True)
+  def _toggle(self):
+    cr.CommSchedules.set_optimizations(('no-reorder-exploration',))
+    yield
+    cr.CommSchedules.set_optimizations(('reorder-exploration',))
+
+
+class TestCommSchedulesWithoutSkip(TestCommSchedules):
+  """Ablation: the partial-cost branch-and-bound filter prunes work,
+  not results (on inputs the search completes)."""
+
+  @pytest.fixture(autouse=True)
+  def _toggle(self):
+    cr.CommSchedules.set_optimizations(('no-skip-with-partial-cost',))
+    yield
+    cr.CommSchedules.set_optimizations(('skip-with-partial-cost',))
+
+
+def test_middle_out_order():
+  assert list(cr.middle_out(5)) == [2, 1, 3, 0, 4]
+  assert list(cr.middle_out(4)) == [1, 2, 0, 3]
+  assert list(cr.middle_out(1)) == [0]
+
+
+class TestExactSearchDegrade:
+  """The reference's `optimal` keeps searching past 10 operands under
+  a timeout that degrades to best-so-far (computation_reuse.py:
+  959-1132, timeout=300); there is no silent optimal->greedy switch.
+  The degrade must log a warning AND report which mode produced the
+  result."""
+
+  def _window(self, m, n, radial=False):
+    rattrs, aattrs = [], []
+    for y in range(n):
+      for x in range(m):
+        rattrs.append((x, y))
+        aattrs.append((x - m // 2) ** 2 + (y - n // 2) ** 2)
+    linearizer = Linearizer(rattrs)
+    return (tuple(map(linearizer.apply, rattrs)),
+            tuple(aattrs) if radial else None, linearizer)
+
+  def test_timeout_degrades_to_best_so_far(self, caplog):
+    rattrs, aattrs, linearizer = self._window(11, 11, radial=True)
+    schedules = cr.CommSchedules(rattrs, aattrs, linearizer)
+    schedules.timeout = 3.0
+    with caplog.at_level(logging.WARNING):
+      best = schedules.best
+    # the greedy seed guarantees `optimal` is never worse than greedy:
+    # the reference baseline for this window is 70 ops
+    # (test_computation_reuse.py:249-334)
+    assert best.num_ops <= 70
+    assert schedules.result_mode == 'timeout-best-so-far'
+    assert schedules.result_source in ('search', 'greedy-seed')
+    assert any('best-so-far' in r.message for r in caplog.records)
+
+  def test_exact_mode_reported_when_search_completes(self):
+    schedules = cr.CommSchedules((0, 1, 2, 10, 11, 12), None)
+    _ = schedules.best
+    assert schedules.result_mode == 'exact'
+    assert schedules.result_source == 'search'
+
+  def test_large_uniform_window_beats_linear(self):
+    # 16x16 bare window: greedy reaches 8 ops; `optimal` with the
+    # greedy seed must match or beat it within the timeout
+    rattrs, _, linearizer = self._window(16, 16)
+    schedules = cr.CommSchedules(rattrs, None, linearizer)
+    schedules.timeout = 3.0
+    assert schedules.best.num_ops <= 8
 
 
 class TestGreedySchedules:
