@@ -39,58 +39,74 @@ from soda_tpu.profiling import peak_bandwidth  # noqa: E402
 # run with computation reuse on — the DAC'20 optimization this
 # framework rebuilds ('yes' dispatches the native C++ scheduler when
 # native/build/soda-tpu-cr exists, exactly like the reference).
-# Entries: (name, shape, stencil overrides, seed executor config).
-# The seed is the measured-best config from prior tuned runs (PARITY.md
-# table) so a COLD-cache run starts at the known-good point even when
-# the probe budget runs out before late kernels get their probes; the
-# persistent autotune cache and the measured probe loop refine it.
+# Entries: (name, shape, stencil overrides, seed executor configs).
+# Each kernel carries its TOP-2 measured seed configs (primary first):
+# the remote compile-server fleet varies ±10% between runs and has
+# HTTP-500'd individual configs outright (exp28 saw blur's roll-b512
+# seed fail three times in one session while window-b512 compiled
+# fine), so a single seed makes the recorded result hostage to one
+# compile. Every seed is timed; the winner is then refined by the
+# measured probe loop, and the persistent autotune cache carries the
+# best across runs.
 CONFIGS = (
     # roll-shift value mode measured 0.089 ms vs the r2 window seed's
-    # 0.099 (0.92 roofline, closing the 0.91x XLA-ahead gap to 0.98x)
+    # 0.099 (0.92 roofline); window-b512 is the fleet-stable fallback
+    # that recorded 0.816 in BENCH_r03 when roll-b512 HTTP-500'd
     ('blur', (8192, 2048), {'tile_size': (2048, 0)},
-     {'block_rows': 512, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     ({'block_rows': 512, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 512})),
     ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)},
-     {'block_rows': 256}),
+     ({'block_rows': 256}, {'block_rows': 512})),
     ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
-     {'block_rows': 128}),
+     ({'block_rows': 128}, {'block_rows': 64})),
     # roll-shift value mode (round 3): all shifted loads are rotates
     # of full-slab-extent values — heat3d reaches the full roofline
     ('heat3d', (2048, 32, 128), {'tile_size': (128, 32, 0),
                                  'optimizations': {'distribute': True}},
-     {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     ({'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 128})),
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
-     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 256})),
     # roll+transposed hybrid (exp22) + idempotent-window CR chain
-    # (exp25: 12 -> 10 min ops, 0.385 -> 0.416); blocks >256 crash
-    # Mosaic
+    # (exp25: 12 -> 10 min ops) + peeled single-invocation stream loop
+    # (exp28: 0.422 vs 0.405 without peel); blocks >256 crash Mosaic
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},
-     {'stage_mode': 'value', 'shift_mode': 'roll',
-      'transpose_lanes': 'on', 'block_rows': 256}),
+     ({'stage_mode': 'value', 'shift_mode': 'roll',
+       'transpose_lanes': 'on', 'block_rows': 256,
+       'stream_loop': 'peel'},
+      {'stage_mode': 'value', 'shift_mode': 'roll',
+       'transpose_lanes': 'on', 'block_rows': 256})),
     # separable factorization leaves sobel2d with 8 single-axis taps;
     # the lane-crossing shifted load (slice) then beats the rotate
     ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)},
-     {'lane_shift': 'slice', 'block_rows': 256}),
+     ({'lane_shift': 'slice', 'block_rows': 256},
+      {'lane_shift': 'slice', 'block_rows': 512})),
     # hybrid beats plain roll 0.346 vs 0.30 (exp22); 3 region
     # crossings, so 'auto' would skip the regions — force 'on'
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
-     {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
-      'transpose_lanes': 'on'}),
+     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'transpose_lanes': 'on'},
+      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'})),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count
     ('contrast', (32768, 512), {'tile_size': (512, 0),
                                 'optimizations': {'computation-reuse':
-                                                  'yes'}}, {}),
+                                                  'yes'}},
+     ({}, {'block_rows': 64})),
     ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)},
-     {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     ({'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 128})),
     ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
-     {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'}),
+     ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 64})),
 )
 
 
@@ -184,9 +200,23 @@ from soda_tpu.profiling import (  # noqa: E402
     chain_input_index, slope_time, stream_bytes)
 
 
-def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
+def _exc1(e: BaseException) -> str:
+  """First line of an exception message, robust to empty messages."""
+  return (str(e).splitlines() or [repr(e)])[0][:90]
+
+
+def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
                  compare_xla=True):
-  """Roofline-fraction measurement of one corpus kernel."""
+  """Roofline-fraction measurement of one corpus kernel.
+
+  Measures every seed config (top-2 measured-best from CONFIGS, plus
+  the autotune cache's last winner), refines the winner with the probe
+  loop, then confirms the winner with a second timing batch — the
+  remote compile fleet varies ±10% between runs and occasionally
+  HTTP-500s a single config, so no recorded number may depend on one
+  compile succeeding (BENCH_r03 recorded blur at its fallback because
+  the roll seed failed to compile three times in that session).
+  """
   import jax
   import jax.numpy as jnp
   from jax import lax
@@ -195,95 +225,112 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
   from soda_tpu.backend.pallas_kernel import PallasExecutor
 
   stencil = corpus.build(name, **overrides)
-  ex_opts = dict(ex_opts or {})
+  seeds = [dict(s) for s in (seeds or ({},))]
 
-  # the best config any earlier run recorded (autotune cache) becomes
-  # the INITIAL executor — later kernels keep their best-known config
-  # even when the wall-clock budget cuts the probe loop short
+  # the best FULL config any earlier run recorded (autotune cache):
+  # {} means "plain defaults won", absence means "never measured"
   from soda_tpu.tools import autotune
   tkey = autotune._key(stencil, tuple(shape),
                        getattr(jax.devices()[0], 'device_kind', '?'))
   tpath = __import__('os').path.expanduser(autotune.DEFAULT_CACHE)
   ttable = autotune._load(tpath)
-  cached_cfg = dict(ttable.get(tkey, {}).get('config') or {})
-  best_cand = dict(cached_cfg)
-  try:
-    ex = PallasExecutor(stencil, shape, **{**ex_opts, **cached_cfg})
-  except Exception:  # noqa: BLE001 - stale cache entry
-    best_cand = {}
-    ex = PallasExecutor(stencil, shape, **ex_opts)
-  inputs = reference.make_test_inputs(stencil, shape)
-  args = list(ex.prepare(inputs))
+  cached_cfg = ttable.get(tkey, {}).get('config')
 
   chain_idx = chain_input_index(stencil)
   cells = float(np.prod(shape))
   in_bytes, out_bytes = stream_bytes(stencil, shape)
   est_iter = (in_bytes + out_bytes) / (peak_gbps * 1e9)
-  # the seed config itself can stop compiling (remote compile-server
-  # fleet regressions: exp28 saw blur's roll-b512 seed HTTP-500 three
-  # times in one session) — fall through to the probe candidates
-  # instead of failing the kernel outright
-  try:
-    dt, compile_s = slope_time(ex.fn, args, chain_idx, est_iter)
-  except Exception as e:  # noqa: BLE001 - Mosaic compile regression
-    log('%s: seed config failed (%s); probing fallbacks'
-        % (name, str(e).splitlines()[0][:90]))
-    dt, compile_s = float('inf'), 0.0
 
-  # measured candidate probe: the VMEM estimator is deliberately
-  # conservative and lane-shift mode is workload-dependent, so try a
-  # 2x/4x block (and, for wide 2-D rows, the rotate mode) and keep
-  # whatever actually times fastest. The winner goes back into the
-  # cache, so configs converge to best-of-all-runs (compile-server
-  # output varies ~10% between runs).
+  # stage 1: measure every starting config (primary seed, cache's last
+  # winner, secondary seed, bare defaults as last resort)
+  starters = [('seed', seeds[0])]
+  if cached_cfg is not None and cached_cfg != seeds[0]:
+    starters.append(('cache', dict(cached_cfg)))
+  for s in seeds[1:]:
+    if all(s != cfg for _, cfg in starters):
+      starters.append(('seed2', s))
+  if all(cfg != {} for _, cfg in starters):
+    starters.append(('bare', {}))
+
+  inputs = reference.make_test_inputs(stencil, shape)
+  args = None
+  dt, ex, best_cfg, compile_s = float('inf'), None, None, 0.0
+  for tag, cfg in starters:
+    if over_budget() and ex is not None:
+      break
+    try:
+      trial = PallasExecutor(stencil, shape, **cfg)
+      if args is None:
+        args = list(trial.prepare(inputs))
+      trial_dt, trial_cs = slope_time(trial.fn, args, chain_idx,
+                                      est_iter, reps=2)
+    except Exception as e:  # noqa: BLE001 - Mosaic compile regression
+      log('%s: %s config %s failed (%s)' % (name, tag, cfg, _exc1(e)))
+      continue
+    log('%s: %s config measured %.3f ms' % (name, tag, trial_dt * 1e3))
+    if trial_dt < dt:
+      dt, ex, best_cfg, compile_s = trial_dt, trial, dict(cfg), trial_cs
+  if ex is None:
+    raise RuntimeError('%s: every starting config failed to compile'
+                       % name)
+
+  # stage 2: measured candidate probe around the winner: the VMEM
+  # estimator is deliberately conservative and lane-shift mode is
+  # workload-dependent, so try a 2x/4x block (and, for wide 2-D rows,
+  # the rotate mode) and keep whatever actually times fastest. The
+  # winner goes back into the cache, so configs converge to
+  # best-of-all-runs.
   base_block = ex.block_rows
-  candidates = [{}, {'block_rows': base_block * 2},
+  candidates = [{'block_rows': base_block * 2},
                 {'block_rows': base_block * 4}]
   if len(shape) == 2 and shape[-1] > 256 and \
-      ex_opts.get('lane_shift') is None:
+      best_cfg.get('lane_shift') is None:
     candidates += [{'lane_shift': 'rotate'},
-                   {'lane_shift': 'rotate', 'block_rows': base_block * 2},
-                   {'lane_shift': 'rotate',
-                    'block_rows': base_block * 4}]
-  if ex_opts.get('shift_mode') is None:
+                   {'lane_shift': 'rotate', 'block_rows': base_block * 2}]
+  if best_cfg.get('shift_mode') is None:
     # roll-shift value mode: measured winner on several kernels
-    candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
-                       'block_rows': base_block})
+    candidates.append({'stage_mode': 'value', 'shift_mode': 'roll'})
     if len(shape) == 2:
       # roll + transposed-lane-region hybrid (exp22: erosion +19%,
       # xcorr +15% over their previous seeds)
       candidates.append({'stage_mode': 'value', 'shift_mode': 'roll',
-                         'transpose_lanes': 'on',
-                         'block_rows': base_block})
-  if ex_opts.get('stream_loop') is None and ex.grid * ex.grid_m >= 8:
+                         'transpose_lanes': 'on'})
+  if best_cfg.get('stream_loop') is None and ex.grid * ex.grid_m >= 8:
     # stream_loop='peel': the whole streaming grid in one kernel
     # invocation with boundary steps peeled — attacks the measured
-    # ~2us fixed cost per Pallas grid step, which only matters when
-    # steps are many and cheap (exp27/exp28)
+    # ~2us fixed cost per Pallas grid step (exp27/exp28: jacobi3d
+    # 256^3 0.451 -> 0.512, erosion 0.405 -> 0.422)
     candidates.append({'stream_loop': 'peel'})
     # deep input prefetch (exp30/exp31): hides DMA grant latency at
     # the price of the rolling fill (halo re-reads)
     candidates.append({'stream_loop': 'peel', 'prefetch': 3})
-  candidates = [c for c in candidates if c != cached_cfg]
-  # last-resort reset: the builder's plain defaults (window mode, auto
-  # everything, no seed opts at all) — only wins when the seed and all
-  # richer candidates crash the compiler
-  candidates.append({'_bare': True})
+  tried = [cfg for _, cfg in starters]
   for cand in candidates:
-    if over_budget() and np.isfinite(dt):
+    if over_budget():
       break
+    opts = {**best_cfg, **cand}
+    if opts in tried:
+      continue
+    tried.append(opts)
     try:
-      opts = {} if cand.get('_bare') else {**ex_opts, **cand}
       trial = PallasExecutor(stencil, shape, **opts)
-      trial_dt, _ = slope_time(trial.fn, args, chain_idx, est_iter,
-                               reps=2)
+      trial_dt, trial_cs = slope_time(trial.fn, args, chain_idx,
+                                      est_iter, reps=2)
     except Exception:  # noqa: BLE001 - Mosaic OOM etc: keep safe pick
       continue
     if trial_dt < dt:
-      dt, ex, best_cand = trial_dt, trial, cand
+      dt, ex, best_cfg, compile_s = trial_dt, trial, opts, trial_cs
       log('%s: probe accepted %s (%.3f ms)' % (name, cand, dt * 1e3))
-  if not np.isfinite(dt):
-    raise RuntimeError('%s: every config failed to compile' % name)
+
+  # stage 3: confirm the winner with a second timing batch (same
+  # compiled executable; min across batches damps host-side jitter)
+  if not over_budget():
+    try:
+      dt2, _ = slope_time(ex.fn, args, chain_idx, est_iter, reps=2)
+      dt = min(dt, dt2)
+    except Exception as e:  # noqa: BLE001 - keep the measured value
+      log('%s: confirmation batch failed (%s)' % (name, _exc1(e)))
+
   try:
     ttable = autotune._load(tpath)  # re-read: other kernels wrote too
     # always record THIS run's winner: keeping a historical best-ever
@@ -292,12 +339,10 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
     ttable[tkey] = {'stencil': stencil.app_name, 'shape': list(shape),
                     'device': getattr(jax.devices()[0], 'device_kind',
                                       '?'),
-                    # the FULL measured config (seed merged with the
-                    # winning candidate) — the cache is shared with
-                    # tools/autotune.py, which must reconstruct exactly
-                    # what was timed
-                    'config': ({} if best_cand.get('_bare')
-                               else {**ex_opts, **best_cand}),
+                    # the FULL measured config — the cache is shared
+                    # with tools/autotune.py, which must reconstruct
+                    # exactly what was timed ({} = plain defaults won)
+                    'config': best_cfg,
                     'ms': round(dt * 1e3, 4)}
     autotune._store(tpath, ttable)
   except OSError:
@@ -361,16 +406,21 @@ def bench_kernel(name, shape, overrides, peak_gbps, ex_opts=None,
 
   # measured backend auto-dispatch: the XLA whole-grid executor is a
   # first-class backend (backend/__init__.py picks it whenever Pallas
-  # does not apply); where the persisted baseline says it outruns the
-  # best fused-Pallas config (XLA's tile-level pointwise fusion wins
-  # on blur — exp18 probed and failed to close the gap Pallas-side),
-  # re-measure it live and adopt the faster executor.
+  # does not apply); where the baseline says it outruns the best
+  # fused-Pallas config, re-measure it LIVE and adopt the faster
+  # executor. Either way the live measurement replaces a cached
+  # baseline for the speedup claim: a stale cache from a better
+  # compile-fleet day must not make the recorded speedup dishonest in
+  # either direction (BENCH_r03 recorded blur at 0.87x vs a cached
+  # XLA number the same session could not reproduce).
   if xla_dt and xla_dt < dt and not over_budget():
     try:
       from soda_tpu.backend.xla import XlaExecutor
       xex = XlaExecutor(stencil, shape)
       xargs = list(xex.prepare(inputs))
       xdt, _ = slope_time(xex.fn, xargs, chain_idx, est_iter, reps=2)
+      xla_dt = xdt  # the live number IS the comparison point now
+      _store_xla_baseline(xkey, xla_dt * 1e3)
       if xdt < dt:
         dt, ex = xdt, xex
         gbps = (in_bytes + out_bytes) / dt / 1e9
@@ -427,7 +477,7 @@ def main():
     for attempt in (1, 2):  # remote compile servers are occasionally flaky
       try:
         frac, gbps, cps, dt, speedup = bench_kernel(
-            name, shape, overrides, peak, ex_opts=seed,
+            name, shape, overrides, peak, seeds=seed,
             compare_xla=compare_xla)
         fracs.append(frac)
         details[name] = {'roofline_frac': round(frac, 4),

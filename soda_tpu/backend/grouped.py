@@ -91,7 +91,8 @@ class GroupedPallasExecutor:
   """Run a stencil as one fused Pallas kernel per plan group."""
 
   def __init__(self, stencil, shape: Tuple[int, ...],
-               cluster: Optional[str] = None, **kwargs):
+               cluster: Optional[str] = None,
+               apply_preserve_border: bool = True, **kwargs):
     import jax
     import jax.numpy as jnp
     self.stencil = stencil
@@ -121,7 +122,9 @@ class GroupedPallasExecutor:
         outs = ex.fn(*args)
         env.update(zip(sub.output_names, outs))
       outs = tuple(env[name] for name in stencil.output_names)
-      if stencil.preserve_border:
+      # the sharded layer owns the global border fix-up; a per-shard
+      # one would use the shard-local (wrong) boundary
+      if stencil.preserve_border and apply_preserve_border:
         from soda_tpu.backend.reference import preserve_border_fixup
         in_pos = {n: i for i, n in enumerate(stencil.input_names)}
         fixed = preserve_border_fixup(

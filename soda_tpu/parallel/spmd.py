@@ -190,6 +190,24 @@ class ShardedExecutor:
         args += [params[name] for name in param_names]
         outs = inner_exec._fn(*args)
         return dict(zip(output_names, outs))
+    elif inner == 'grouped':
+      # per-stage-group kernels inside each shard (the reference's
+      # cluster granularity knob, cluster.py:51-202, composed with
+      # spatial sharding — one halo exchange per sweep-batch feeds a
+      # CHAIN of per-group kernels, not one fused one)
+      from soda_tpu.backend.grouped import GroupedPallasExecutor
+      gopts = dict(inner_opts or {})
+      gopts.pop('apply_preserve_border', None)
+      gopts.setdefault('interpret', interpret)
+      inner_exec = GroupedPallasExecutor(stencil, ext_shape,
+                                         apply_preserve_border=False,
+                                         **gopts)
+
+      def run_local(arrays: Dict, params: Dict) -> Dict:
+        args = [arrays[name] for name in input_names]
+        args += [params[name] for name in param_names]
+        outs = inner_exec._fn(*args)
+        return dict(zip(output_names, outs))
     else:
       from soda_tpu.backend import xla as xla_backend
 

@@ -87,6 +87,42 @@ def check(name, variants=(), ex_opts=None):
   return bad_total, worst
 
 
+def contrast_f64_check():
+  """Measured justification for contrast's loosened THRESHOLD.
+
+  tests/checks.py argues the executor-vs-oracle divergence on contrast
+  is FMA contraction — i.e. the executor is MORE accurate than the
+  individually-rounded f32 oracle, not less. This turns the argument
+  into a measured fact: compute the truth once in float64 and require
+  the executor's error against it to be no worse than the f32
+  oracle's own error (VERDICT r3 #7).
+
+  Returns (executor_vs_f64_max, oracle32_vs_f64_max).
+  """
+  from soda_tpu import api, corpus
+  from soda_tpu.backend import reference
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  shape = SHAPES['contrast']
+  overrides = {'tile_size': TILE['contrast'],
+               'optimizations': {'computation-reuse': 'yes'}}
+  st32 = corpus.build('contrast', **overrides)
+  # the identical kernel at double precision: the oracle evaluates
+  # `double` in NumPy float64 (storage-honest, no x64 jax needed)
+  st64 = api.build_stencil(
+      corpus.CORPUS['contrast'].replace(' float:', ' double:'),
+      **overrides)
+  inputs = reference.make_test_inputs(st32, shape)
+  inputs64 = {k: np.asarray(v, np.float64) for k, v in inputs.items()}
+  truth = reference.run(st64, inputs64)['output']
+  oracle32 = reference.run(st32, inputs)['output'].astype(np.float64)
+  got = np.asarray(PallasExecutor(st32, shape)(inputs)['output'],
+                   dtype=np.float64)
+  region = reference.output_valid_slices(st32, shape)
+  err_exec = float(np.abs(got[region] - truth[region]).max())
+  err_orac = float(np.abs(oracle32[region] - truth[region]).max())
+  return err_exec, err_orac
+
+
 # optimization-variant sweep (--variants): the analog of the
 # reference's tests/test-cluster.sh re-running the corpus per knob
 VARIANTS = (
@@ -187,6 +223,23 @@ def main() -> int:
       failures += 1
     rows.append((tag, status))
     print('%-20s %s' % (tag, status), flush=True)
+  if do_variants:
+    # contrast THRESHOLD evidence: the executor must be at least as
+    # close to the float64 truth as the f32 oracle (1.05x slack for
+    # rounding luck on individual cells)
+    try:
+      err_exec, err_orac = contrast_f64_check()
+      ok = err_exec <= err_orac * 1.05 + 1e-9
+      status = ('PASS (exec %.3g <= oracle %.3g vs f64 truth)'
+                if ok else
+                'FAIL (exec %.3g > oracle %.3g vs f64 truth)') % (
+                    err_exec, err_orac)
+      failures += not ok
+    except Exception as e:  # noqa: BLE001 - report, keep sweeping
+      status = 'ERROR: %s' % str(e)[:90].replace('\n', ' ')
+      failures += 1
+    rows.append(('contrast+f64truth', status))
+    print('%-20s %s' % ('contrast+f64truth', status), flush=True)
   print('%d/%d cases pass' % (len(rows) - failures, len(rows)))
   return 1 if failures else 0
 

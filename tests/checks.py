@@ -27,6 +27,12 @@ THRESHOLD = 1e-4
 # ~5e-4, so cells that cancel toward zero legitimately differ by that
 # much between XLA and the individually-rounded oracle. Genuine
 # defects produce O(1)+ errors.
+#
+# This rationale is MEASURED, not just argued (round 4): a float64
+# oracle computes the truth and the executor's error against it is
+# asserted to be no worse than the f32 oracle's own error —
+# tests/test_f64_evidence.py on CPU, `tpu_validate --variants`
+# case 'contrast+f64truth' on hardware.
 KERNEL_THRESHOLDS = {'contrast': 1e-3}
 
 
