@@ -55,8 +55,10 @@ CONFIGS = (
     ('blur', (8192, 2048), {'tile_size': (2048, 0)},
      ({'block_rows': 512, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 512})),
+    # roll b256 measured 0.239 vs window's 0.249 (exp33, in-process)
     ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)},
-     ({'block_rows': 256}, {'block_rows': 512})),
+     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'block_rows': 256})),
     ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
      ({'block_rows': 128}, {'block_rows': 64})),
     # roll-shift value mode (round 3): all shifted loads are rotates
@@ -71,14 +73,17 @@ CONFIGS = (
      ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 256})),
     # roll+transposed hybrid (exp22) + idempotent-window CR chain
-    # (exp25: 12 -> 10 min ops) + peeled single-invocation stream loop
-    # (exp28: 0.422 vs 0.405 without peel); blocks >256 crash Mosaic
+    # (exp25: 12 -> 10 min ops). Round 4: hybrid at block 512 + lane
+    # rotate COMPILES now (fleet update) and measured 0.165 ms (0.498
+    # roofline, +8% over the r3 record); block-512 compiles are still
+    # flaky (exp33 saw 1024 and peel variants HTTP-500), so the
+    # reliable b256 hybrid stays as the second seed
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},
      ({'stage_mode': 'value', 'shift_mode': 'roll',
-       'transpose_lanes': 'on', 'block_rows': 256,
-       'stream_loop': 'peel'},
+       'transpose_lanes': 'on', 'block_rows': 512,
+       'lane_shift': 'rotate'},
       {'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'block_rows': 256})),
     # separable factorization leaves sobel2d with 8 single-axis taps;
@@ -92,8 +97,9 @@ CONFIGS = (
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
      ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
-       'transpose_lanes': 'on'},
-      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'})),
+       'transpose_lanes': 'on', 'lane_shift': 'rotate'},
+      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'transpose_lanes': 'on'})),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count

@@ -314,7 +314,12 @@ class PallasExecutor:
     # vectors at one value per 32-bit lane, so the 2x density never
     # materializes and the conversion churn loses ~10% (xcorr 0.25 vs
     # 0.29). 'on' forces it for A/B measurement; flip 'auto' when a
-    # Mosaic update packs 16-bit vregs.
+    # Mosaic update packs 16-bit vregs. RE-PROBE CADENCE: once per
+    # round run `experiments/exp12_mosaic_reprobe.py native swar`
+    # (i16 min/max/mul legality — a fixed native i16 min alone is ~2x
+    # on erosion) and exp13/exp14 (vreg packing: narrow wins only
+    # when i16 packs 2/lane). Last re-probe 2026-08-19: min/max/mul
+    # still crash; SWAR i16x2 min regressed to crashing.
     self.narrow = narrow
     # out_dma: bypass the Pallas output-block pipeline — outputs stay
     # HBM refs and each grid step DMAs its finished block out of a

@@ -135,11 +135,22 @@ VARIANTS = (
      {'optimizations': {'computation-reuse': 'yes'}}),
     ('jacobi2d+iterate4', 'jacobi2d', {'iterate': 4}),
     ('blur+preserve', 'blur', {'border': 'preserve'}),
-    # cluster granularity on hardware (the reference re-validates all
-    # granularities, tests/test-cluster.sh:5-66): per-stage kernels
-    # with HBM handoff
+    # cluster granularity across the FULL corpus (the reference
+    # re-runs every kernel per granularity, tests/test-cluster.sh:
+    # 5-66): per-stage-group kernels with HBM handoff. 'full' (one
+    # fused kernel) is the base sweep above; 'fine' == 'coarse' on
+    # TPU (PARITY §2.11)
     ('blur+coarse', 'blur', {'cluster': 'coarse'}),
     ('sobel2d+coarse', 'sobel2d', {'cluster': 'coarse'}),
+    ('contrast+coarse', 'contrast', {'cluster': 'coarse'}),
+    ('denoise2d+coarse', 'denoise2d', {'cluster': 'coarse'}),
+    ('denoise3d+coarse', 'denoise3d', {'cluster': 'coarse'}),
+    ('erosion+coarse', 'erosion', {'cluster': 'coarse'}),
+    ('heat3d+coarse', 'heat3d', {'cluster': 'coarse'}),
+    ('jacobi2d+coarse', 'jacobi2d', {'cluster': 'coarse'}),
+    ('jacobi3d+coarse', 'jacobi3d', {'cluster': 'coarse'}),
+    ('seidel2d+coarse', 'seidel2d', {'cluster': 'coarse'}),
+    ('xcorr+coarse', 'xcorr', {'cluster': 'coarse'}),
 )
 
 # executor-config variants (the round-3 roll-shift bench seeds must be

@@ -657,3 +657,50 @@ def test_external_schedules_missing_binary_raises_cleanly(monkeypatch):
   monkeypatch.setattr(cr, 'find_external_cr', lambda: None)
   with _pytest.raises(utils.InputError):
     cr.ExternalSchedules((0, 1, 2, 3))
+
+
+class TestExactSearchProperties:
+  """Property fuzz of the round-4 lazy middle-out search: on inputs
+  small enough to complete, the result is invariant to every ablation
+  toggle and never worse than greedy; on any input, the reported cost
+  is consistent with the returned tree."""
+
+  def _random_operands(self, rng, n):
+    rattrs = sorted(rng.choice(200, size=n, replace=False).tolist())
+    aattrs = (None if rng.random() < 0.5 else
+              tuple(int(a) for a in rng.integers(0, 3, size=n)))
+    return tuple(rattrs), aattrs
+
+  def test_never_worse_than_greedy_and_toggle_invariant(self):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+      n = int(rng.integers(4, 9))
+      rattrs, aattrs = self._random_operands(rng, n)
+      greedy = cr.GreedySchedules(rattrs, aattrs).best
+      base = cr.CommSchedules(rattrs, aattrs).best
+      assert base.num_ops <= greedy.num_ops, (rattrs, aattrs)
+      # the returned tree really covers the operand multiset
+      got = sorted(off for off, _ in base.norm_attrs)
+      want = sorted(r - rattrs[0] for r in rattrs)
+      assert got == want
+      for toggle in ('no-caching', 'no-dedup', 'no-reorder-exploration',
+                     'no-skip-with-partial-cost'):
+        cr.CommSchedules.set_optimizations((toggle,))
+        try:
+          alt = cr.CommSchedules(rattrs, aattrs).best
+        finally:
+          cr.CommSchedules.set_optimizations((toggle[3:],))
+        assert alt.num_ops == base.num_ops, (toggle, rattrs, aattrs)
+
+  def test_large_input_seeded_result_covers_operands(self):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rattrs, aattrs = self._random_operands(rng, 14)
+    schedules = cr.CommSchedules(rattrs, aattrs)
+    schedules.timeout = 1.0
+    best = schedules.best
+    got = sorted(off for off, _ in best.norm_attrs)
+    want = sorted(r - rattrs[0] for r in rattrs)
+    assert got == want
+    assert schedules.result_mode in ('exact', 'timeout-best-so-far')
