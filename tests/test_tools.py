@@ -48,3 +48,15 @@ def test_cache_enable(tmp_path):
   path = cache.enable(str(tmp_path / 'xla_cache'))
   import os
   assert os.path.isdir(path)
+
+
+def test_perf_report_builds_from_committed_record():
+  """PARITY's headline table is generated from the recorded artifact
+  (bench_last_result.json), never an in-process run."""
+  from soda_tpu.tools import perf_report
+  report = perf_report.build_report()
+  assert report['rows'], 'no kernels in the committed record'
+  for row in report['rows']:
+    # the model-honesty invariant, visible in the report itself
+    assert row['roofline_frac'] <= row['ceiling'] * 1.03 + 1e-6
+  assert 0.0 < report['geomean'] <= 1.2
