@@ -55,10 +55,14 @@ CONFIGS = (
     ('blur', (8192, 2048), {'tile_size': (2048, 0)},
      ({'block_rows': 512, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 512})),
-    # roll b256 measured 0.239 vs window's 0.249 (exp33, in-process)
+    # bare peel at the default 128-row block measured 0.200 ms in the
+    # driver-conditions run (0.82 roofline; 64 cheap steps make the
+    # ~2us/step tax bind) — but inter-process variance on this config
+    # is large (0.200-0.258 the same day), so roll b256 (exp33's
+    # one-process winner) rides as the stable second seed
     ('jacobi2d', (8192, 2048), {'tile_size': (2048, 0)},
-     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'},
-      {'block_rows': 256})),
+     ({'stream_loop': 'peel'},
+      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'})),
     ('jacobi3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
      ({'block_rows': 128}, {'block_rows': 64})),
     # roll-shift value mode (round 3): all shifted loads are rotates
@@ -67,11 +71,14 @@ CONFIGS = (
                                  'optimizations': {'distribute': True}},
      ({'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 128})),
+    # roll+peel b128 measured 0.237 (0.693) vs roll b256's 0.248
+    # in one process (exp35)
     ('seidel2d', (8192, 2048), {'tile_size': (2048, 0),
                                 'optimizations': {'computation-reuse':
                                                   'greedy'}},
-     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'},
-      {'block_rows': 256})),
+     ({'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'stream_loop': 'peel'},
+      {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll'})),
     # roll+transposed hybrid (exp22) + idempotent-window CR chain
     # (exp25: 12 -> 10 min ops). Round 4: hybrid at block 512 + lane
     # rotate COMPILES now (fleet update) and measured 0.165 ms (0.498
@@ -107,9 +114,11 @@ CONFIGS = (
                                 'optimizations': {'computation-reuse':
                                                   'yes'}},
      ({}, {'block_rows': 64})),
+    # roll+peel b64 measured 0.373 (0.659) vs roll b128's 0.384 (exp35)
     ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)},
-     ({'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'},
-      {'block_rows': 128})),
+     ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'stream_loop': 'peel'},
+      {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'})),
     ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
      ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 64})),

@@ -181,6 +181,14 @@ EX_VARIANTS = (
     ('blur+stream_loop', 'blur', {}, dict(ROLL, block_rows=512,
                                           stream_loop=True)),
     ('jacobi3d+peel', 'jacobi3d', {}, {'stream_loop': 'peel'}),
+    # round-4 adopted peel seeds (exp35): roll-mode 2-D kernels with
+    # the whole streaming grid in one peeled invocation
+    ('jacobi2d+peel', 'jacobi2d', {}, {'stream_loop': 'peel'}),
+    ('seidel2d+roll+peel', 'seidel2d',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, block_rows=128, stream_loop='peel')),
+    ('denoise2d+roll+peel', 'denoise2d', {},
+     dict(ROLL, block_rows=64, stream_loop='peel')),
     ('erosion+hybrid+peel', 'erosion',
      {'optimizations': {'computation-reuse': 'greedy'}},
      dict(ROLL, transpose_lanes='on', block_rows=256,
