@@ -99,14 +99,17 @@ CONFIGS = (
      ({'lane_shift': 'slice', 'block_rows': 256},
       {'lane_shift': 'slice', 'block_rows': 512})),
     # hybrid beats plain roll 0.346 vs 0.30 (exp22); 3 region
-    # crossings, so 'auto' would skip the regions — force 'on'
+    # crossings, so 'auto' would skip the regions — force 'on'.
+    # block 320 measured 0.391 vs 256's 0.344 (exp36: the 17-wide
+    # window's halo re-read fraction drops faster than VMEM pressure
+    # rises; 384+ regress or crash the compile fleet)
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
-     ({'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
+     ({'block_rows': 320, 'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'lane_shift': 'rotate'},
       {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
-       'transpose_lanes': 'on'})),
+       'transpose_lanes': 'on', 'lane_shift': 'rotate'})),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
     # inside VMEM at the same total cell count
@@ -319,6 +322,11 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
     # deep input prefetch (exp30/exp31): hides DMA grant latency at
     # the price of the rolling fill (halo re-reads)
     candidates.append({'stream_loop': 'peel', 'prefetch': 3})
+  if len(shape) >= 3 and best_cfg.get('dma_split') is None:
+    # split slab fills: back-to-back sub-DMAs overlap grant latency
+    # (exp30: +7% on the pure-DMA replay; 3-D only — stream-axis
+    # offsets are plane strides, no sublane-alignment constraint)
+    candidates.append({'dma_split': 2})
   tried = [cfg for _, cfg in starters]
   for cand in candidates:
     if over_budget():
@@ -427,8 +435,12 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
   # baseline for the speedup claim: a stale cache from a better
   # compile-fleet day must not make the recorded speedup dishonest in
   # either direction (BENCH_r03 recorded blur at 0.87x vs a cached
-  # XLA number the same session could not reproduce).
-  if xla_dt and xla_dt < dt and not over_budget():
+  # XLA number the same session could not reproduce). This honesty
+  # re-measure is EXEMPT from the wall-clock budget: a sub-1.0x claim
+  # must never be recorded from a cache alone (the record run behind
+  # BENCH_r04's denoise3d 0.99x hit exactly that — last kernel in the
+  # sweep, budget expired, cached loss recorded unconfirmed).
+  if xla_dt and xla_dt < dt:
     try:
       from soda_tpu.backend.xla import XlaExecutor
       xex = XlaExecutor(stencil, shape)

@@ -173,6 +173,12 @@ EX_VARIANTS = (
     ('xcorr+hybrid', 'xcorr',
      {'optimizations': {'computation-reuse': 'greedy'}},
      dict(ROLL, transpose_lanes='on', block_rows=256)),
+    # non-power-of-2 block (exp36 bench seed: b320 beat b256 by 14%);
+    # exercises the ragged tail block (512 = 320 + 192)
+    ('xcorr+hybrid320', 'xcorr',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=320,
+          lane_shift='rotate')),
     ('blur+roll', 'blur', {}, dict(ROLL, block_rows=512)),
     # stream_loop: the whole streaming grid inside one kernel
     # invocation (in-kernel fori_loop + out_dma staging), plain and
@@ -197,6 +203,13 @@ EX_VARIANTS = (
     # own Mosaic legalization coverage (exp30/exp31)
     ('jacobi3d+prefetch3', 'jacobi3d', {},
      {'stream_loop': 'peel', 'prefetch': 3}),
+    # split input-slab fills: several back-to-back sub-DMAs per fill
+    # on one semaphore slot (exp30 grant-overlap; round-4 knob)
+    ('jacobi3d+peel+split', 'jacobi3d', {},
+     {'stream_loop': 'peel', 'dma_split': 2}),
+    ('heat3d+roll+split', 'heat3d',
+     {'optimizations': {'distribute': True}},
+     dict(ROLL, dma_split=2)),
     # narrow i16 stages + roll-mode stream shifts: axis_roll must
     # widen sub-32-bit vectors for Mosaic (interpret checks only the
     # semantics; the legality needs real hardware)

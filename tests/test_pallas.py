@@ -396,3 +396,42 @@ def test_roll_shift_requires_value_mode():
   with pytest.raises(Exception, match='shift_mode=roll'):
     PallasExecutor(stencil, (256, 128), stage_mode='vmem',
                    shift_mode='roll')
+
+
+@pytest.mark.parametrize('dma_split', [2, 3])
+@pytest.mark.parametrize('name,shape,builder_kw', [
+    # rolling fill (partial_copy sub-DMAs) + plain grid (in_copy)
+    ('jacobi3d', (64, 64, 64), {'mid_tile': 32, 'block_rows': 8}),
+    # peel body: boundary steps carry static sub-range offsets
+    ('jacobi3d', (96, 32, 64),
+     {'block_rows': 8, 'stage_mode': 'value', 'shift_mode': 'roll',
+      'stream_loop': 'peel'}),
+    # prefetch>2 disables rolling: split applies to full-slab in_copy;
+    # block_rows=3 < split exercises the clamp to one-row chunks
+    ('heat3d', (64, 32, 64), {'block_rows': 3, 'prefetch': 3}),
+])
+def test_dma_split_matches_oracle(name, shape, builder_kw, dma_split):
+  """dma_split: each input-slab fill issued as several back-to-back
+  sub-DMAs on one semaphore slot (exp30: grant overlap, +7% on the
+  pure-DMA replay). Ragged chunking (rows not divisible) covered by
+  block_rows=8 split 3."""
+  from soda_tpu.backend.pallas_kernel import MidTiledPallasExecutor
+  tiles = {'jacobi3d': (64, 32, 0), 'heat3d': (64, 32, 0)}
+  stencil = corpus.build(name, tile_size=tiles[name])
+  cls = MidTiledPallasExecutor if 'mid_tile' in builder_kw \
+      else PallasExecutor
+  inputs = reference.make_test_inputs(stencil, shape)
+  want = reference.run(stencil, inputs)
+  ex = cls(stencil, shape, dma_split=dma_split, **builder_kw)
+  got = ex(inputs)
+  for out in stencil.output_names:
+    region = reference.output_valid_slices(stencil, shape, out)
+    assert_close_reference(
+        np.asarray(got[out])[region], want[out][region],
+        stencil.symbol_table[out].is_float, f'{name}:split{dma_split}')
+
+
+def test_dma_split_requires_3d():
+  stencil = corpus.build('blur', tile_size=(128, 0))
+  with pytest.raises(ValueError, match='dma_split'):
+    PallasExecutor(stencil, (256, 128), dma_split=2)
