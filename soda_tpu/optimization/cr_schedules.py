@@ -70,7 +70,7 @@ class CommSchedule:
   # computation_reuse.py:1707); left unset elsewhere so that
   # ``getattr(sched, 'base', default)`` falls through to the default.
   __slots__ = ('left', 'right', 'distance', 'base', '_norm', '_hash',
-               '_children', '_cost', '_dist', '_dep')
+               '_children', '_cost', '_dist', '_dep', '_uniq', '_nops')
 
   def __init__(self, left: Payload, right: Payload, distance: int):
     self.left = left
@@ -82,6 +82,8 @@ class CommSchedule:
     self._cost = None
     self._dist = None
     self._dep = None
+    self._uniq = None
+    self._nops = None
 
   # -- attrs -------------------------------------------------------------------
   def attrs_with_offset(self, offset: int = 0
@@ -103,7 +105,17 @@ class CommSchedule:
   @property
   def norm_attr_set(self) -> FrozenSet[Tuple[int, Payload]]:
     if self._norm is None:
-      self._norm = frozenset(self.norm_attrs)
+      # build from the children's cached sets (left sits at offset 0,
+      # right at +distance) — the recursive-generator walk over leaves
+      # dominated the exact search's profile
+      left = (self.left.norm_attr_set if isinstance(self.left, CommSchedule)
+              else frozenset(((0, self.left),)))
+      d = self.distance
+      if isinstance(self.right, CommSchedule):
+        right = frozenset((o + d, p) for o, p in self.right.norm_attr_set)
+      else:
+        right = frozenset(((d, self.right),))
+      self._norm = left | right
     return self._norm
 
   def __eq__(self, other) -> bool:
@@ -141,11 +153,21 @@ class CommSchedule:
 
   @property
   def num_ops(self) -> int:
-    return len(set(self.children))
+    # hot in the search's branch-and-bound loop: build from the
+    # children's cached sets instead of re-walking the whole tree
+    if self._nops is None:
+      self._nops = len(self.uniq_expr_set)
+    return self._nops
 
   @property
   def uniq_expr_set(self) -> Set[FrozenSet[Tuple[int, Payload]]]:
-    return {c.norm_attr_set for c in self.children}
+    if self._uniq is None:
+      out = {self.norm_attr_set}
+      for child in (self.left, self.right):
+        if isinstance(child, CommSchedule):
+          out |= child.uniq_expr_set
+      self._uniq = out
+    return self._uniq
 
   @property
   def cost(self) -> Tuple[int, int]:
@@ -242,9 +264,17 @@ class CommSchedule:
   def total_distance(self) -> int:
     if self._dist is not None:
       return self._dist
-    from scipy.optimize import linprog
     dependers, dependees, _ = self._dependency()
     vids = sorted(set(dependers) | set(dependees) | {0, 1})
+    if vids == [0, 1]:
+      # no reused subtree survived inlining (e.g. a pure linear chain):
+      # the only live range is the input's, p_0 = p_1 = 0 pinned, so
+      # the optimum is its last consume offset — no LP needed. This is
+      # the dominant case when the search floods through no-reuse trees
+      # (every yielded tie paid a scipy linprog call before).
+      self._dist = int(dependees[1][0][1])
+      return self._dist
+    from scipy.optimize import linprog
     index = {v: i for i, v in enumerate(vids)}
     n = len(vids)
     # x = [p_0..p_{n-1}, q_0..q_{n-1}]; p_0 = p_1 = 0 pinned

@@ -671,14 +671,23 @@ class TestExactSearchProperties:
               tuple(int(a) for a in rng.integers(0, 3, size=n)))
     return tuple(rattrs), aattrs
 
-  def test_never_worse_than_greedy_and_toggle_invariant(self):
+  def test_never_worse_than_greedy_and_toggle_invariant(self, monkeypatch):
+    # n <= 6 so every search (base and each ablated variant) COMPLETES
+    # deterministically: the toggle invariant only holds for finished
+    # enumerations, and n >= 7 draws made this test both slow (minutes)
+    # and flaky under suite load (the 30 s deadline fired mid-search
+    # and best-so-far depends on timing). The generous timeout below is
+    # a safety margin, not a budget — completion is asserted.
     import numpy as np
+    monkeypatch.setattr(cr.CommSchedules, 'timeout', 300.0)
     rng = np.random.default_rng(7)
-    for _ in range(10):
-      n = int(rng.integers(4, 9))
+    for _ in range(8):
+      n = int(rng.integers(4, 7))
       rattrs, aattrs = self._random_operands(rng, n)
       greedy = cr.GreedySchedules(rattrs, aattrs).best
-      base = cr.CommSchedules(rattrs, aattrs).best
+      searcher = cr.CommSchedules(rattrs, aattrs)
+      base = searcher.best
+      assert searcher.result_mode == 'exact', (rattrs, aattrs)
       assert base.num_ops <= greedy.num_ops, (rattrs, aattrs)
       # the returned tree really covers the operand multiset
       got = sorted(off for off, _ in base.norm_attrs)
@@ -688,9 +697,11 @@ class TestExactSearchProperties:
                      'no-skip-with-partial-cost'):
         cr.CommSchedules.set_optimizations((toggle,))
         try:
-          alt = cr.CommSchedules(rattrs, aattrs).best
+          alt_searcher = cr.CommSchedules(rattrs, aattrs)
+          alt = alt_searcher.best
         finally:
           cr.CommSchedules.set_optimizations((toggle[3:],))
+        assert alt_searcher.result_mode == 'exact', (toggle, rattrs, aattrs)
         assert alt.num_ops == base.num_ops, (toggle, rattrs, aattrs)
 
   def test_large_input_seeded_result_covers_operands(self):
