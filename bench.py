@@ -49,11 +49,12 @@ from soda_tpu.profiling import peak_bandwidth  # noqa: E402
 # measured probe loop, and the persistent autotune cache carries the
 # best across runs.
 CONFIGS = (
-    # roll-shift value mode measured 0.089 ms vs the r2 window seed's
-    # 0.099 (0.92 roofline); window-b512 is the fleet-stable fallback
-    # that recorded 0.816 in BENCH_r03 when roll-b512 HTTP-500'd
+    # roll b640 measured 0.086 ms / 0.958 roofline vs roll b512's
+    # 0.101 in one process (exp36 round-4 re-sweep; b768 HTTP-500s);
+    # window-b512 is the fleet-stable fallback that recorded 0.816 in
+    # BENCH_r03 when the roll seed HTTP-500'd
     ('blur', (8192, 2048), {'tile_size': (2048, 0)},
-     ({'block_rows': 512, 'stage_mode': 'value', 'shift_mode': 'roll'},
+     ({'block_rows': 640, 'stage_mode': 'value', 'shift_mode': 'roll'},
       {'block_rows': 512})),
     # bare peel at the default 128-row block measured 0.200 ms in the
     # driver-conditions run (0.82 roofline; 64 cheap steps make the
