@@ -132,13 +132,36 @@ CONFIGS = (
 N_SMALL = 5
 
 # soft wall-clock budget: past this, skip optional work (XLA
-# comparisons, probes) so the JSON line always lands
+# comparisons, probes) so the JSON line always lands. The budget is
+# sliced PER KERNEL (fair share of what remains, 30s floor): a single
+# congested-fleet compile storm on the first kernel's probe loop must
+# not starve every later kernel of its cache-winner measurement — the
+# 2026-08-19 21:43 run did exactly that (blur probes ate the global
+# budget; heat3d/jacobi3d then measured only their primary seeds and
+# recorded 0.93-0.96 where their cached configs measure 1.1+).
 _DEADLINE = time.monotonic() + float(
-    __import__('os').environ.get('BENCH_BUDGET_S', '420'))
+    __import__('os').environ.get('BENCH_BUDGET_S', '660'))
+_SLICE_DEADLINE = None  # set by begin_kernel_slice per kernel
+
+
+def begin_kernel_slice(kernels_left: int) -> None:
+  """Grant the next kernel a fair share of the remaining budget.
+
+  Unspent time rolls forward (shares are recomputed from the actual
+  remainder); a 30s floor keeps late kernels able to measure their
+  cache winner even when earlier kernels overran the global budget
+  (worst-case wall grows by 30s x kernels, which is acceptable for
+  the claim of record).
+  """
+  global _SLICE_DEADLINE
+  now = time.monotonic()
+  share = max((_DEADLINE - now) / max(kernels_left, 1), 30.0)
+  _SLICE_DEADLINE = now + share
 
 
 def over_budget() -> bool:
-  return time.monotonic() > _DEADLINE
+  return time.monotonic() > (_SLICE_DEADLINE if _SLICE_DEADLINE is not None
+                             else _DEADLINE)
 
 
 # Persistent XLA-baseline table (committed to the repo): the XLA
@@ -501,7 +524,8 @@ def main():
   compare_xla = __import__('os').environ.get('BENCH_XLA') == '1'
   fracs = []
   details = {}
-  for name, shape, overrides, seed in CONFIGS:
+  for idx, (name, shape, overrides, seed) in enumerate(CONFIGS):
+    begin_kernel_slice(len(CONFIGS) - idx)
     for attempt in (1, 2):  # remote compile servers are occasionally flaky
       try:
         frac, gbps, cps, dt, speedup = bench_kernel(
