@@ -86,28 +86,35 @@ CONFIGS = (
     # roofline, +8% over the r3 record); block-512 compiles are still
     # flaky (exp33 saw 1024 and peel variants HTTP-500), so the
     # reliable b256 hybrid stays as the second seed
+    # exp38: prefetch=2 on top of the b512 hybrid measured 0.178 ms vs
+    # 0.182 in one process (and compiled on a fleet that was 500ing
+    # every OTHER >=512/peel variant); the prefetch-free b256 hybrid
+    # stays as the fleet-stable fallback
     ('erosion', (8192, 2048), {'tile_size': (2048, 0),
                                'optimizations': {'computation-reuse':
                                                  'greedy'}},
      ({'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'block_rows': 512,
-       'lane_shift': 'rotate'},
+       'lane_shift': 'rotate', 'prefetch': 2},
       {'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'block_rows': 256})),
     # separable factorization leaves sobel2d with 8 single-axis taps;
-    # the lane-crossing shifted load (slice) then beats the rotate
+    # the lane-crossing shifted load (slice) then beats the rotate.
+    # exp38: +prefetch2 0.571 vs 0.562 in one process
     ('sobel2d', (8192, 2048), {'tile_size': (2048, 0)},
-     ({'lane_shift': 'slice', 'block_rows': 256},
-      {'lane_shift': 'slice', 'block_rows': 512})),
+     ({'lane_shift': 'slice', 'block_rows': 256, 'prefetch': 2},
+      {'lane_shift': 'slice', 'block_rows': 256})),
     # hybrid beats plain roll 0.346 vs 0.30 (exp22); 3 region
     # crossings, so 'auto' would skip the regions — force 'on'.
-    # block 320 measured 0.391 vs 256's 0.344 (exp36: the 17-wide
+    # block 320 measured 0.391 vs 256's 0.344 (exp36: the 19-tap
     # window's halo re-read fraction drops faster than VMEM pressure
-    # rises; 384+ regress or crash the compile fleet)
+    # rises); exp38 pushed one step further: b352 0.391 vs b320's
+    # 0.370 in one process (384+ regress or crash the compile fleet).
+    # b256 stays the fleet-stable fallback.
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
                                                'greedy'}},
-     ({'block_rows': 320, 'stage_mode': 'value', 'shift_mode': 'roll',
+     ({'block_rows': 352, 'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'lane_shift': 'rotate'},
       {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'lane_shift': 'rotate'})),
@@ -123,9 +130,11 @@ CONFIGS = (
      ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
        'stream_loop': 'peel'},
       {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'})),
+    # exp38: +prefetch2 0.643 vs 0.628 in one process
     ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
-     ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'},
-      {'block_rows': 64})),
+     ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'prefetch': 2},
+      {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'})),
 )
 
 

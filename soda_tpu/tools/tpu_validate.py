@@ -216,6 +216,24 @@ EX_VARIANTS = (
     ('xcorr+narrow+roll', 'xcorr',
      {'optimizations': {'computation-reuse': 'greedy'}},
      dict(ROLL, narrow='on')),
+    # round-4 exp38/39 adopted seeds: prefetch-2 on the gridded 2-D
+    # path (warm-up fill + depth-2 slab ring), the b352 ragged tail
+    # (512 = 352 + 160), and the peel+prefetch joint the fleet finally
+    # compiled (the 256^3 winner, exp39: 0.63 roofline)
+    ('xcorr+hybrid352', 'xcorr',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=352,
+          lane_shift='rotate')),
+    ('erosion+hybrid+pf2', 'erosion',
+     {'optimizations': {'computation-reuse': 'greedy'}},
+     dict(ROLL, transpose_lanes='on', block_rows=512,
+          lane_shift='rotate', prefetch=2)),
+    ('sobel2d+slice+pf2', 'sobel2d', {},
+     {'lane_shift': 'slice', 'prefetch': 2}),
+    ('denoise3d+roll+pf2', 'denoise3d', {},
+     dict(ROLL, block_rows=64, prefetch=2)),
+    ('jacobi3d+peel+pf2', 'jacobi3d', {},
+     {'stream_loop': 'peel', 'prefetch': 2}),
 )
 
 
