@@ -130,10 +130,13 @@ CONFIGS = (
      ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
        'stream_loop': 'peel'},
       {'block_rows': 128, 'stage_mode': 'value', 'shift_mode': 'roll'})),
-    # exp38: +prefetch2 0.643 vs 0.628 in one process
+    # exp41: peel+roll at a 16-row block measured 0.737 vs the b64
+    # seed's 0.640 in one process — the 256^3 small-block insight
+    # (exp39/40: per-step DMA grant scales with block size) transfers
+    # to this 3-D shape. Plain roll b64 is the fleet-stable fallback.
     ('denoise3d', (2048, 32, 128), {'tile_size': (128, 32, 0)},
-     ({'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll',
-       'prefetch': 2},
+     ({'block_rows': 16, 'stage_mode': 'value', 'shift_mode': 'roll',
+       'stream_loop': 'peel'},
       {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'})),
 )
 

@@ -185,10 +185,20 @@ def op_model(stencil, plan, lanes: Optional[int] = None,
   arith = {'add': 0.0, 'mul': 0.0, 'div': 0.0, 'minmax': 0.0,
            'transcendental': 0.0, 'other': 0.0}
   shifts = dict.fromkeys(costs, 0)
+  fma_fusable = 0.0
   for stage in plan.stages:
     counts = _stage_op_counts(stage.tensor)
     for key, cnt in counts.items():
       arith[key] += cnt
+    # float mul+add pairs contract into single VPU FMAs (Mosaic does
+    # this routinely — docs/perf-log.md "Numerical findings" measured
+    # the 1-ulp contraction difference), so an upper bound must price
+    # a contractible pair as ONE slot. Integer stages get no such
+    # guarantee and keep separate pricing. exp41 forced this term:
+    # denoise3d's peel+b16 config measured 0.737 against a 0.696
+    # ceiling that priced its 22 muls and 31 adds separately.
+    if getattr(stage.tensor.dtype, 'is_float', False):
+      fma_fusable += min(counts['add'], counts['mul'])
     st_idx = stage.tensor.st_idx
     seen = set()
     for parent, refs in stage.tensor.ld_refs.items():
@@ -216,6 +226,8 @@ def op_model(stencil, plan, lanes: Optional[int] = None,
     slots += stage_cost
   for key, cnt in arith.items():
     slots += op_cost[key] * cnt
+  if mode == 'ceiling':
+    slots -= fma_fusable  # each contracted float mul+add pair: 1 slot
   for key, cnt in shifts.items():
     slots += costs[key] * cnt
   return {'slots_per_cell': slots, 'arith': arith, 'shifts': shifts,

@@ -234,6 +234,10 @@ EX_VARIANTS = (
      dict(ROLL, block_rows=64, prefetch=2)),
     ('jacobi3d+peel+pf2', 'jacobi3d', {},
      {'stream_loop': 'peel', 'prefetch': 2}),
+    # exp41 denoise3d seed: peeled 16-row blocks (the 256^3
+    # small-block win transferred to the bench shape, 0.74 roofline)
+    ('denoise3d+peel16', 'denoise3d', {},
+     dict(ROLL, block_rows=16, stream_loop='peel')),
 )
 
 
