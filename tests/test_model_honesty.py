@@ -50,3 +50,41 @@ def test_model_ceiling_dominates_measured(name, shape, overrides, seeds):
       '%s: measured %.3f exceeds model ceiling %.3f — re-fit '
       'estimate.py (op costs or shift taxes are stale)' %
       (name, measured, ceiling))
+
+
+def test_ceiling_prices_float_fma_pairs_once():
+  """exp41 forced this: denoise3d measured 0.737 against a 0.696
+  ceiling that priced its float mul+add pairs as two slots each.
+  Mosaic contracts them into FMAs (docs/perf-log.md "Numerical
+  findings"), so ceiling mode must price each contractible pair once
+  — while integer kernels (no contraction guarantee) keep separate
+  pricing."""
+  from soda_tpu.backend.plan import make_plan
+  # float kernel with many mul+add pairs
+  st = corpus.build('denoise3d', tile_size=(128, 32, 0))
+  plan = make_plan(st, 'full')
+  ceil = est.op_model(st, plan, lanes=128, mode='ceiling')
+  # contraction is per stage (an FMA can only fuse a mul+add living in
+  # the same expression tree), so reconstruct the discount stage-wise
+  fusable = sum(
+      min(c['add'], c['mul'])
+      for c in (est._stage_op_counts(s.tensor) for s in plan.stages))
+  assert fusable > 0
+  # reconstruct the un-fused arith pricing and check exactly `fusable`
+  # slots were discounted
+  arith_slots = sum(est.CEIL_OP_COST[k] * v
+                    for k, v in ceil['arith'].items())
+  shift_slots = sum(est.CEIL_SHIFT_COST[k] * v
+                    for k, v in ceil['shifts'].items())
+  assert ceil['slots_per_cell'] == pytest.approx(
+      arith_slots + shift_slots - fusable)
+  # integer kernel: no discount
+  sti = corpus.build('erosion', tile_size=(2048, 0),
+                     optimizations={'computation-reuse': 'greedy'})
+  plani = make_plan(sti, 'full')
+  ceili = est.op_model(sti, plani, lanes=2048, mode='ceiling')
+  arith_i = sum(est.CEIL_OP_COST[k] * v
+                for k, v in ceili['arith'].items())
+  shift_i = sum(est.CEIL_SHIFT_COST[k] * v
+                for k, v in ceili['shifts'].items())
+  assert ceili['slots_per_cell'] == pytest.approx(arith_i + shift_i)
