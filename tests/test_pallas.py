@@ -329,7 +329,7 @@ def test_stream_loop_matches_oracle(name, shape, builder_kw, stream_loop):
         stencil.symbol_table[out].is_float, f'{name}:stream_loop')
 
 
-@pytest.mark.parametrize('prefetch', [3, 4])
+@pytest.mark.parametrize('prefetch', [2, 3, 4])
 @pytest.mark.parametrize('name,shape,builder_kw', [
     ('blur', (128, 64), {'block_rows': 16}),
     ('jacobi3d', (64, 64, 64), {'mid_tile': 32, 'block_rows': 8}),
