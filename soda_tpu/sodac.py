@@ -57,6 +57,13 @@ def _build_parser() -> argparse.ArgumentParser:
                             'glore', 'external', 'built-in',
                             'built-in:greedy', 'built-in:optimal'),
                    default='no')
+  opt.add_argument('--cr-cost', choices=('ops', 'tpu'), default=None,
+                   help='computation-reuse schedule objective: ops = '
+                        'the reference (num_ops, reuse distance) tuple '
+                        '(default); tpu = measured shift-slot '
+                        'scalarization (prefers 8-aligned sublane / '
+                        'vreg-multiple lane reuse distances and may '
+                        'trade +1 op for a cheaper shift set)')
   opt.add_argument('--inline', action='store_true')
   opt.add_argument('--distribute', action='store_true',
                    help='factor shared coefficients: a*c + b*c -> (a+b)*c')
@@ -188,6 +195,8 @@ def main(argv: Optional[list] = None) -> int:
   optimizations = {}
   if args.computation_reuse != 'no':
     optimizations['computation-reuse'] = args.computation_reuse
+  if args.cr_cost is not None:
+    optimizations['cr-cost'] = args.cr_cost
   if args.inline:
     optimizations['inline'] = True
   if args.distribute:

@@ -715,3 +715,101 @@ class TestExactSearchProperties:
     want = sorted(r - rattrs[0] for r in rattrs)
     assert got == want
     assert schedules.result_mode in ('exact', 'timeout-best-so-far')
+
+
+class TestTpuCost:
+  """'cr-cost: tpu' — measured shift prices in the schedule objective.
+
+  SURVEY §7.3's explicitly-deferred hard part: the reference minimizes
+  (num_ops, FIFO reuse distance) (computation_reuse.py:573-624); on
+  TPU the second term is the in-register shift price, measured in
+  exp24 to vary ~3x with alignment. The default mode stays the
+  reference tuple bit-for-bit (the baselines above all run through it).
+  """
+
+  def test_shift_price_prefers_aligned_distances(self):
+    # sublane axis (DSL dim 1): d = 8 is a vreg renumber, d = 3 a
+    # concat-roll
+    rattrs = [(0, y) for y in range(16)]
+    lin = Linearizer(rattrs)
+    d8 = lin.apply((0, 8)) - lin.apply((0, 0))
+    d3 = lin.apply((0, 3)) - lin.apply((0, 0))
+    assert cr.tpu_shift_price(d8, lin) < cr.tpu_shift_price(d3, lin)
+    # lane axis (DSL dim 0): vreg-multiple distances are cheap
+    rl = [(x, 0) for x in range(0, 129, 8)]
+    lin2 = Linearizer(rl)
+    d128 = lin2.apply((128, 0)) - lin2.apply((0, 0))
+    d16 = lin2.apply((16, 0)) - lin2.apply((0, 0))
+    assert cr.tpu_shift_price(d128, lin2) < cr.tpu_shift_price(d16, lin2)
+    assert cr.tpu_shift_price(0, lin2) == 0.0
+
+  def test_key_inverts_reference_order_on_aligned_tie(self):
+    # equal num_ops: the reference tuple prefers the SHORTER distance
+    # (3); the measured model prefers the ALIGNED one (8)
+    rattrs = [(0, 0), (0, 3), (0, 8)]
+    lin = Linearizer(rattrs)
+    rr = tuple(map(lin.apply, rattrs))
+    aligned = cr.CommSchedule(None, None, 8)
+    short = cr.CommSchedule(None, None, 3)
+    tpu = cr.CommSchedules(rr, None, lin, cost_mode='tpu')
+    ops = cr.CommSchedules(rr, None, lin)
+    assert tpu.schedule_key(aligned) < tpu.schedule_key(short)
+    assert ops.schedule_key(short) < ops.schedule_key(aligned)
+
+  def test_tpu_slots_counts_distinct_shifted_reads(self):
+    sched = cr.linear_schedule(tuple((r, None) for r in (0, 1, 2)))
+    # 2 unique ops + shifted input reads at offsets 1 and 2
+    assert sched.tpu_slots(None) > sched.num_ops
+
+  @pytest.mark.parametrize('cls', [cr.GreedySchedules, cr.CommSchedules])
+  def test_tpu_mode_never_prices_worse_than_ops_mode(self, cls):
+    rng = np.random.default_rng(19)
+    for _ in range(6):
+      n = int(rng.integers(4, 9))
+      ys = sorted(rng.choice(24, size=n, replace=False).tolist())
+      rattrs = [(0, int(y)) for y in ys]
+      lin = Linearizer(rattrs)
+      rr = tuple(map(lin.apply, rattrs))
+      ops_best = cls(rr, None, lin).best
+      searcher = cls(rr, None, lin, cost_mode='tpu')
+      if isinstance(searcher, cr.CommSchedules):
+        searcher.timeout = 10.0
+      tpu_best = searcher.best
+      # the tpu search optimizes the measured objective: never worse
+      # on it than the reference-objective winner
+      assert (tpu_best.tpu_slots(lin) <= ops_best.tpu_slots(lin) + 1e-9), \
+          (rr, tpu_best.num_ops, ops_best.num_ops)
+      # and the tree still covers the operand multiset exactly
+      got = sorted(off for off, _ in tpu_best.norm_attrs)
+      assert got == sorted(r - rr[0] for r in rr)
+
+  @pytest.mark.parametrize('method', ['greedy', 'optimal'])
+  @pytest.mark.parametrize('name', ['jacobi2d', 'seidel2d', 'erosion'])
+  def test_tpu_cost_preserves_semantics(self, name, method):
+    plain = corpus.build(name)
+    shape = corpus.TEST_DIMS[name]
+    inputs = reference.make_test_inputs(plain, shape)
+    want = reference.run(plain, inputs)
+    st = corpus.build(name, optimizations={'computation-reuse': method,
+                                           'cr-cost': 'tpu'})
+    got = reference.run(st, inputs)
+    for out_name in plain.output_names:
+      region = reference.output_valid_slices(st, shape, out_name)
+      assert_close_reference(
+          got[out_name][region], want[out_name][region],
+          plain.symbol_table[out_name].is_float, f'{name}:tpu-{method}')
+
+  def test_unknown_cost_mode_raises(self):
+    from soda_tpu import utils
+    with pytest.raises(utils.InputError):
+      cr.GreedySchedules((0, 1, 2), cost_mode='fpga')
+
+  def test_external_binary_speaks_cost_model(self):
+    if cr.find_external_cr() is None:
+      pytest.skip('native soda-tpu-cr not built')
+    rattrs = [(0, y) for y in range(12)]
+    lin = Linearizer(rattrs)
+    rr = tuple(map(lin.apply, rattrs))
+    best = cr.ExternalSchedules(rr, None, lin, cost_mode='tpu').best
+    got = sorted(off for off, _ in best.norm_attrs)
+    assert got == sorted(r - rr[0] for r in rr)
