@@ -138,6 +138,20 @@ CONFIGS = (
      ({'block_rows': 16, 'stage_mode': 'value', 'shift_mode': 'roll',
        'stream_loop': 'peel'},
       {'block_rows': 64, 'stage_mode': 'value', 'shift_mode': 'roll'})),
+    # BASELINE.md's named 256^3 jacobi3d config, recorded so the
+    # round-4 DMA-grant-chain result (exp30 diagnosis; exp39/40
+    # peel+roll mid64 b16 broke the three-round 0.45 wall at 0.673,
+    # bit-exact) is driver-attested rather than experiments/-only
+    # (VERDICT r4 missing #1). Reported as its own details row;
+    # excluded from the 11-kernel geomean so the headline metric stays
+    # comparable across rounds. Fallback: exp39's other independent
+    # win (peel+roll mid64 prefetch2, 0.629 — default block).
+    ('jacobi3d_256', (256, 256, 256), {'tile_size': (256, 256, 0)},
+     ({'mid_tile': 64, 'block_rows': 16, 'stream_loop': 'peel',
+       'stage_mode': 'value', 'shift_mode': 'roll'},
+      {'mid_tile': 64, 'stream_loop': 'peel', 'stage_mode': 'value',
+       'shift_mode': 'roll', 'prefetch': 2}),
+     {'kernel': 'jacobi3d', 'geomean': False}),
 )
 
 
@@ -259,26 +273,37 @@ def _exc1(e: BaseException) -> str:
   return (str(e).splitlines() or [repr(e)])[0][:90]
 
 
-def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
-                 compare_xla=True):
-  """Roofline-fraction measurement of one corpus kernel.
+def _transient(e: BaseException) -> bool:
+  """True for compile-fleet flakes worth ONE retry (the remote Mosaic
+  servers HTTP-500 individual configs transiently — exp28/exp33);
+  deterministic rejections (VMEM legality, InputError) must not pay a
+  second compile."""
+  msg = str(e)
+  return ('HTTP' in msg or '500' in msg or 'INTERNAL' in msg
+          or 'DEADLINE' in msg.upper())
 
-  Measures every seed config (top-2 measured-best from CONFIGS, plus
-  the autotune cache's last winner), refines the winner with the probe
-  loop, then confirms the winner with a second timing batch — the
-  remote compile fleet varies ±10% between runs and occasionally
-  HTTP-500s a single config, so no recorded number may depend on one
-  compile succeeding (BENCH_r03 recorded blur at its fallback because
-  the roll seed failed to compile three times in that session).
+
+def measure_seeds(name, shape, overrides, peak_gbps, seeds=(),
+                  kernel=None):
+  """Pass 1 — budget-EXEMPT: time every starting config of one kernel.
+
+  Every kernel's full seed set (primary, autotune-cache winner,
+  secondary, bare defaults) is timed BEFORE any kernel spends budget
+  on probe refinement (main() runs this pass corpus-wide first): the
+  r4 record starved denoise3d down to a single-seed measurement
+  because earlier kernels' probes ate the budget (VERDICT r4 #2/#4).
+  Transient compile-fleet failures (HTTP 500) retry once.
+
+  ``kernel`` overrides the corpus program name when the config row is
+  an alternate shape of an existing kernel (jacobi3d_256).
+  Returns the measurement state consumed by refine_kernel.
   """
   import jax
-  import jax.numpy as jnp
-  from jax import lax
   from soda_tpu import corpus
   from soda_tpu.backend import reference
   from soda_tpu.backend.pallas_kernel import PallasExecutor
 
-  stencil = corpus.build(name, **overrides)
+  stencil = corpus.build(kernel or name, **overrides)
   seeds = [dict(s) for s in (seeds or ({},))]
 
   # the best FULL config any earlier run recorded (autotune cache):
@@ -295,8 +320,6 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
   in_bytes, out_bytes = stream_bytes(stencil, shape)
   est_iter = (in_bytes + out_bytes) / (peak_gbps * 1e9)
 
-  # stage 1: measure every starting config (primary seed, cache's last
-  # winner, secondary seed, bare defaults as last resort)
   starters = [('seed', seeds[0])]
   if cached_cfg is not None and cached_cfg != seeds[0]:
     starters.append(('cache', dict(cached_cfg)))
@@ -310,16 +333,21 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
   args = None
   dt, ex, best_cfg, compile_s = float('inf'), None, None, 0.0
   for tag, cfg in starters:
-    if over_budget() and ex is not None:
-      break
-    try:
-      trial = PallasExecutor(stencil, shape, **cfg)
-      if args is None:
-        args = list(trial.prepare(inputs))
-      trial_dt, trial_cs = slope_time(trial.fn, args, chain_idx,
-                                      est_iter, reps=2)
-    except Exception as e:  # noqa: BLE001 - Mosaic compile regression
-      log('%s: %s config %s failed (%s)' % (name, tag, cfg, _exc1(e)))
+    trial_dt = None
+    for attempt in (1, 2):
+      try:
+        trial = PallasExecutor(stencil, shape, **cfg)
+        if args is None:
+          args = list(trial.prepare(inputs))
+        trial_dt, trial_cs = slope_time(trial.fn, args, chain_idx,
+                                        est_iter, reps=2)
+        break
+      except Exception as e:  # noqa: BLE001 - Mosaic compile regression
+        log('%s: %s config %s failed attempt %d (%s)' %
+            (name, tag, cfg, attempt, _exc1(e)))
+        if not _transient(e):
+          break
+    if trial_dt is None:
       continue
     log('%s: %s config measured %.3f ms' % (name, tag, trial_dt * 1e3))
     if trial_dt < dt:
@@ -327,6 +355,38 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
   if ex is None:
     raise RuntimeError('%s: every starting config failed to compile'
                        % name)
+  return {
+      'name': name, 'shape': tuple(shape), 'stencil': stencil,
+      'inputs': inputs, 'args': args, 'chain_idx': chain_idx,
+      'cells': cells, 'in_bytes': in_bytes, 'out_bytes': out_bytes,
+      'est_iter': est_iter, 'dt': dt, 'ex': ex, 'best_cfg': best_cfg,
+      'compile_s': compile_s, 'tkey': tkey, 'tpath': tpath,
+      'tried': [cfg for _, cfg in starters],
+  }
+
+
+def refine_kernel(state, peak_gbps, compare_xla=True):
+  """Pass 2 — budget-SLICED: probe around the winner, confirm, compare
+  against XLA, and record.
+
+  The remote compile fleet varies ±10% between runs and occasionally
+  HTTP-500s a single config, so no recorded number may depend on one
+  compile succeeding (BENCH_r03 recorded blur at its fallback because
+  the roll seed failed to compile three times in that session).
+  """
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  name, shape, stencil = state['name'], state['shape'], state['stencil']
+  inputs, args, chain_idx = state['inputs'], state['args'], \
+      state['chain_idx']
+  cells, in_bytes, out_bytes = state['cells'], state['in_bytes'], \
+      state['out_bytes']
+  est_iter = state['est_iter']
+  dt, ex, best_cfg, compile_s = state['dt'], state['ex'], \
+      state['best_cfg'], state['compile_s']
+  tkey, tpath = state['tkey'], state['tpath']
 
   # stage 2: measured candidate probe around the winner: the VMEM
   # estimator is deliberately conservative and lane-shift mode is
@@ -363,7 +423,9 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
     # (exp30: +7% on the pure-DMA replay; 3-D only — stream-axis
     # offsets are plane strides, no sublane-alignment constraint)
     candidates.append({'dma_split': 2})
-  tried = [cfg for _, cfg in starters]
+  from soda_tpu.backend.pallas_kernel import PallasExecutor
+  from soda_tpu.tools import autotune
+  tried = list(state['tried'])
   for cand in candidates:
     if over_budget():
       break
@@ -504,6 +566,16 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
   return frac, gbps, cells_per_s, dt, speedup
 
 
+def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
+                 compare_xla=True, kernel=None):
+  """Single-kernel entry: seed pass + refine pass back to back (the
+  protocol tests and ad-hoc use drive one kernel at a time; main()
+  runs the two passes corpus-wide so no kernel's seed timing is
+  starved by another kernel's probe spending)."""
+  state = measure_seeds(name, shape, overrides, peak_gbps, seeds, kernel)
+  return refine_kernel(state, peak_gbps, compare_xla)
+
+
 def _probe_devices(timeout_s: float):
   """Bounded jax.devices(): the call HANGS when the TPU tunnel is
   down, and this harness must always land its one JSON line."""
@@ -536,22 +608,37 @@ def main():
   compare_xla = __import__('os').environ.get('BENCH_XLA') == '1'
   fracs = []
   details = {}
-  for idx, (name, shape, overrides, seed) in enumerate(CONFIGS):
-    begin_kernel_slice(len(CONFIGS) - idx)
-    for attempt in (1, 2):  # remote compile servers are occasionally flaky
-      try:
-        frac, gbps, cps, dt, speedup = bench_kernel(
-            name, shape, overrides, peak, seeds=seed,
-            compare_xla=compare_xla)
-        fracs.append(frac)
-        details[name] = {'roofline_frac': round(frac, 4),
-                         'gbps': round(gbps, 1),
-                         'cells_per_s': cps, 'ms': round(dt * 1e3, 3),
-                         'speedup_vs_xla': round(speedup, 2) if speedup
-                         else None}
-        break
-      except Exception as e:  # keep the bench robust: report what ran
-        log('FAILED %s (attempt %d): %r' % (name, attempt, e))
+  # pass 1 (budget-EXEMPT): every kernel's full seed set is timed
+  # before ANY kernel spends budget on probe refinement — probes then
+  # run on whatever budget remains (VERDICT r4 #2/#4: the r4 record's
+  # last kernel measured only its primary seed)
+  states = []
+  for row in CONFIGS:
+    name, shape, overrides, seed = row[:4]
+    meta = row[4] if len(row) > 4 else {}
+    try:
+      states.append((measure_seeds(name, shape, overrides, peak,
+                                   seeds=seed,
+                                   kernel=meta.get('kernel')), meta))
+    except Exception as e:  # keep the bench robust: report what ran
+      log('FAILED %s seed pass: %r' % (name, e))
+  # pass 2 (budget-sliced): probe, confirm, XLA-compare, record
+  for idx, (state, meta) in enumerate(states):
+    begin_kernel_slice(len(states) - idx)
+    name = state['name']
+    try:
+      frac, gbps, cps, dt, speedup = refine_kernel(state, peak,
+                                                   compare_xla)
+    except Exception as e:
+      log('FAILED %s refine pass: %r' % (name, e))
+      continue
+    if meta.get('geomean', True):
+      fracs.append(frac)
+    details[name] = {'roofline_frac': round(frac, 4),
+                     'gbps': round(gbps, 1),
+                     'cells_per_s': cps, 'ms': round(dt * 1e3, 3),
+                     'speedup_vs_xla': round(speedup, 2) if speedup
+                     else None}
   if not fracs:
     # Distinguish "tunnel died mid-run" (fall back to the last
     # hardware-measured result) from "the device is fine but every
@@ -577,7 +664,7 @@ def main():
     details['_r1_subset_geomean'] = round(
         math.exp(sum(map(math.log, r1)) / len(r1)), 4)
   log('details: %s' % json.dumps(details))
-  if on_tpu and len(fracs) == len(CONFIGS):
+  if on_tpu and len(details) == len(CONFIGS):
     import datetime
     try:
       with open(_LAST_RESULT, 'w') as f:

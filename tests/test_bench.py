@@ -162,3 +162,67 @@ def test_kernel_slice_shields_later_kernels(monkeypatch):
   bench.begin_kernel_slice(kernels_left=3)
   assert bench._SLICE_DEADLINE - bench.time.monotonic() < 150
   assert not bench.over_budget()
+
+
+def test_seed_pass_is_budget_exempt(isolated_caches, monkeypatch):
+  """VERDICT r4 #2/#4: every starting config is timed even with the
+  budget fully exhausted — only probe refinement spends budget (the r4
+  record's last kernel measured a single seed because earlier kernels'
+  probes drained the global deadline)."""
+  timed = []
+
+  def fake(fn, args, chain_idx, est_iter, reps=3):
+    timed.append(1)
+    return 0.005, 0.0
+
+  monkeypatch.setattr(bench, 'slope_time', fake)
+  monkeypatch.setattr(bench, '_DEADLINE', bench.time.monotonic() - 100)
+  monkeypatch.setattr(bench, '_SLICE_DEADLINE', None)
+  assert bench.over_budget()
+  state = bench.measure_seeds('blur', SHAPE, OVERRIDES, PEAK,
+                              seeds=({'block_rows': 16}, {}))
+  assert len(timed) >= 2  # both seeds measured despite zero budget
+  assert state['dt'] == pytest.approx(0.005)
+
+
+def test_transient_errors_retry_once(isolated_caches, monkeypatch):
+  """HTTP-500 compile flakes retry exactly once; deterministic errors
+  do not pay a second compile."""
+  from soda_tpu.backend import pallas_kernel as pk
+
+  fake = _fake_slope({'pallas': 0.004, 'xla': 0.009})
+  monkeypatch.setattr(bench, 'slope_time', fake)
+  orig = pk.PallasExecutor.__init__
+  attempts = []
+
+  def flaky_init(self, stencil, shape, **opts):
+    if opts.get('block_rows') == 32:
+      attempts.append(opts)
+      if len(attempts) == 1:  # first try 500s, retry succeeds
+        raise RuntimeError('HTTP 500: tpu_compile_helper')
+    orig(self, stencil, shape, **opts)
+
+  monkeypatch.setattr(pk.PallasExecutor, '__init__', flaky_init)
+  state = bench.measure_seeds('blur', SHAPE, OVERRIDES, PEAK,
+                              seeds=({'block_rows': 32},))
+  assert len(attempts) == 2  # retried once and recovered
+  assert state['best_cfg'] == {'block_rows': 32}
+  assert not bench._transient(ValueError('tile size 4 cannot ...'))
+  assert bench._transient(RuntimeError('INTERNAL: HTTP 500: boom'))
+
+
+def test_jacobi3d_256_is_recorded_but_not_in_geomean():
+  """VERDICT r4 #3: the 256^3 config is a details row of record while
+  the headline geomean stays the stable 11-kernel definition."""
+  rows = {row[0]: row for row in bench.CONFIGS}
+  assert 'jacobi3d_256' in rows
+  row = rows['jacobi3d_256']
+  meta = row[4]
+  assert meta == {'kernel': 'jacobi3d', 'geomean': False}
+  assert row[1] == (256, 256, 256)
+  # the exp39/40 wall-breaking config is the primary seed
+  assert row[3][0]['mid_tile'] == 64 and row[3][0]['block_rows'] == 16
+  assert row[3][0]['stream_loop'] == 'peel'
+  n_geo = sum(1 for r in bench.CONFIGS
+              if (r[4] if len(r) > 4 else {}).get('geomean', True))
+  assert n_geo == 11
