@@ -94,12 +94,29 @@ class ShardedExecutor:
       Pallas kernel (inner='pallas'): block_rows, stage/shift modes,
       transpose_lanes, stream_loop — the single-chip tuned config
       applies per shard unchanged.
+    overlap: 'off' (default) or 'on' — overlap the halo exchange with
+      interior compute. 'on' issues the ppermutes FIRST, computes the
+      halo-INDEPENDENT interior of the shard while they fly, then
+      computes only the two edge bands from the received halos and
+      stitches (single sharded axis, inner='xla'). This is the TPU
+      analog of the reference's FIFO-depth ILP, whose whole point is
+      keeping communication pipelined under compute
+      (reference dataflow.py:94-176): the step latency model improves
+      from compute(local) + max(ICI halo, DCN halo) to
+      max(compute(interior), halo latency) + compute(edge bands) —
+      the exchange disappears from the critical path whenever the
+      interior (local_rows - halo rows of work) outlasts the wire,
+      at the price of re-computing the overall-halo margin inside
+      each edge band (2*(lo+hi) extra rows of work per shard).
+      tests/test_spmd.py verifies the structure in the jaxpr: the
+      interior chain is reachable without any ppermute output.
   """
 
   def __init__(self, stencil, global_shape: Tuple[int, ...],
                mesh=None, inner: str = 'xla',
                interpret: Optional[bool] = None,
-               dim_axes=None, inner_opts=None):
+               dim_axes=None, inner_opts=None,
+               overlap: str = 'off'):
     import jax
     from jax import lax
     import jax.numpy as jnp
@@ -212,8 +229,12 @@ class ShardedExecutor:
       from soda_tpu.backend import xla as xla_backend
 
       def run_local(arrays: Dict, params: Dict) -> Dict:
-        return xla_backend.forward(stencil_ref, arrays, params, ext_shape,
-                                   plan)
+        # the overlap path calls on interior/edge-band extents, not the
+        # halo-extended shard — forward slices with the shape it is
+        # TOLD, so derive it from the actual arrays every time
+        shp = next(iter(arrays.values())).shape
+        return xla_backend.forward(stencil_ref, arrays, params,
+                                   tuple(shp), plan)
 
     def exchange(array, axis_idx):
       """Extend ``array`` along axis ``axis_idx`` with neighbor halos
@@ -265,18 +286,75 @@ class ShardedExecutor:
         mask = ok if mask is None else jnp.logical_and(mask, ok)
       return mask
 
+    if overlap not in ('off', 'on'):
+      raise utils.InputError("overlap must be 'off' or 'on'")
+    if overlap == 'on' and (len(axes) != 1 or inner != 'xla'):
+      raise utils.InputError(
+          'overlap applies to single-axis sharding with the xla inner '
+          '(edge bands are narrow dynamic shapes the fused Pallas '
+          'kernel is not compiled for)')
+    if overlap == 'on' and halos[0][0] + halos[0][1] > local[0]:
+      raise utils.InputError(
+          'overlap needs local extent %d > total halo %d (edge bands '
+          'would cover the whole shard); use overlap=off' %
+          (local[0], halos[0][0] + halos[0][1]))
+    self.overlap = overlap
+
+    def step_overlapped(locals_in: Dict, params: Dict):
+      """Issue halo permutes, compute the interior while they fly,
+      then the edge bands, and stitch. Outputs are local-extent."""
+      lo, hi, n_dev, group = halos[0]
+      fwd = [(i, i + 1) for i in range(n_dev - 1)]
+      bwd = [(i + 1, i) for i in range(n_dev - 1)]
+      # 1. the sends: no downstream op before these in the graph
+      recv_lo = {name: lax.ppermute(arr[-lo:], group, fwd) if lo else None
+                 for name, arr in locals_in.items()}
+      recv_hi = {name: lax.ppermute(arr[:hi], group, bwd) if hi else None
+                 for name, arr in locals_in.items()}
+      # 2. interior: depends ONLY on the local shard, so XLA's
+      # latency-hiding scheduler runs it between permute-start and
+      # permute-done (structurally pinned by test_spmd.py)
+      interior = run_local(locals_in, params)
+      L = local[0]
+      pieces = {name: [] for name in output_names}
+      # 3. edge bands: the received halo + a margin-deep strip of the
+      # local shard; band outputs are valid on their center rows
+      # because every output's margins are <= the plan-wide halo
+      if lo:
+        band = {name: jnp.concatenate(
+            [recv_lo[name], arr[:lo + hi]], axis=0)
+            for name, arr in locals_in.items()}
+        low = run_local(band, params)
+        for name in output_names:
+          pieces[name].append(low[name][lo:2 * lo])
+      for name in output_names:
+        pieces[name].append(interior[name][lo:L - hi if hi else L])
+      if hi:
+        band = {name: jnp.concatenate(
+            [arr[L - (lo + hi):], recv_hi[name]], axis=0)
+            for name, arr in locals_in.items()}
+        high = run_local(band, params)
+        for name in output_names:
+          pieces[name].append(high[name][lo:lo + hi])
+      return {name: jnp.concatenate(pieces[name], axis=0)
+              for name in output_names}
+
     def step(*local_arrays):
       locals_in = dict(zip(input_names, local_arrays[:len(input_names)]))
-      arrays = {}
-      for name, arr in locals_in.items():
-        for axis_idx in range(len(axes)):
-          arr = exchange(arr, axis_idx)
-        arrays[name] = arr
       params = dict(zip(param_names, local_arrays[len(input_names):]))
-      outs = run_local(arrays, params)
-      crops = tuple(
-          slice(halos[a][0], halos[a][0] + local[a]) if a < len(axes)
-          else slice(None) for a in range(dim))
+      if overlap == 'on':
+        outs = step_overlapped(locals_in, params)
+        crops = (slice(None),) * dim
+      else:
+        arrays = {}
+        for name, arr in locals_in.items():
+          for axis_idx in range(len(axes)):
+            arr = exchange(arr, axis_idx)
+          arrays[name] = arr
+        outs = run_local(arrays, params)
+        crops = tuple(
+            slice(halos[a][0], halos[a][0] + local[a]) if a < len(axes)
+            else slice(None) for a in range(dim))
       results = []
       for k, name in enumerate(output_names):
         out = outs[name][crops]
