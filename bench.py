@@ -111,19 +111,27 @@ CONFIGS = (
     # rises); exp38 pushed one step further: b352 0.391 vs b320's
     # 0.370 in one process (384+ regress or crash the compile fleet).
     # b256 stays the fleet-stable fallback.
+    # cr-cost=tpu (exp44): bit-exact vs the reference objective on the
+    # intersected valid region, 0.211 -> 0.208 ms at the b352 seed
     ('xcorr', (8192, 2048), {'tile_size': (2048, 0),
                              'optimizations': {'computation-reuse':
-                                               'greedy'}},
+                                               'greedy',
+                                               'cr-cost': 'tpu'}},
      ({'block_rows': 352, 'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'lane_shift': 'rotate'},
       {'block_rows': 256, 'stage_mode': 'value', 'shift_mode': 'roll',
        'transpose_lanes': 'on', 'lane_shift': 'rotate'})),
     # contrast's 17x17 table keeps ~95 reuse variables live at once
     # (native CR + absolute CSE); narrower rows keep those value slabs
-    # inside VMEM at the same total cell count
+    # inside VMEM at the same total cell count. cr-cost=tpu (exp44):
+    # the measured-shift-price objective re-schedules the CR chain
+    # onto 8-aligned sublane distances — 1.700 -> 1.446 ms (0.096 ->
+    # 0.113 roofline) AND the Mosaic kernel compile drops 390s -> 6s
+    # (the aligned shift set legalizes to far less code).
     ('contrast', (32768, 512), {'tile_size': (512, 0),
                                 'optimizations': {'computation-reuse':
-                                                  'yes'}},
+                                                  'yes',
+                                                  'cr-cost': 'tpu'}},
      ({}, {'block_rows': 64})),
     # roll+peel b64 measured 0.373 (0.659) vs roll b128's 0.384 (exp35)
     ('denoise2d', (8192, 2048), {'tile_size': (2048, 0)},
@@ -664,7 +672,10 @@ def main():
     details['_r1_subset_geomean'] = round(
         math.exp(sum(map(math.log, r1)) / len(r1)), 4)
   log('details: %s' % json.dumps(details))
-  if on_tpu and len(details) == len(CONFIGS):
+  # persist only a COMPLETE run (every CONFIGS row measured; meta keys
+  # like _r1_subset_geomean don't count toward completeness)
+  n_kernels = sum(1 for k in details if not k.startswith('_'))
+  if on_tpu and n_kernels == len(CONFIGS):
     import datetime
     try:
       with open(_LAST_RESULT, 'w') as f:

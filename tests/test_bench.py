@@ -226,3 +226,15 @@ def test_jacobi3d_256_is_recorded_but_not_in_geomean():
   n_geo = sum(1 for r in bench.CONFIGS
               if (r[4] if len(r) > 4 else {}).get('geomean', True))
   assert n_geo == 11
+
+
+def test_persist_completeness_ignores_meta_keys():
+  """Regression: the persist gate compares measured-kernel count to
+  len(CONFIGS); `details` also carries meta keys (_r1_subset_geomean),
+  so a raw len(details) comparison would NEVER persist a full run.
+  Mirror the main()-loop counting here against a simulated full run."""
+  details = {row[0]: {'roofline_frac': 0.5} for row in bench.CONFIGS}
+  details['_r1_subset_geomean'] = 0.7
+  n_kernels = sum(1 for k in details if not k.startswith('_'))
+  assert len(details) != len(bench.CONFIGS)  # the bug shape
+  assert n_kernels == len(bench.CONFIGS)

@@ -34,14 +34,17 @@ def _record_details():
   return rec.get('details', {})
 
 
-@pytest.mark.parametrize('name,shape,overrides,seeds', bench_mod.CONFIGS)
-def test_model_ceiling_dominates_measured(name, shape, overrides, seeds):
+@pytest.mark.parametrize('name,shape,overrides,seeds,meta',
+                         [tuple(row[:4]) + (row[4] if len(row) > 4 else {},)
+                          for row in bench_mod.CONFIGS])
+def test_model_ceiling_dominates_measured(name, shape, overrides, seeds,
+                                          meta):
   details = _record_details()
   entry = details.get(name)
   if not entry:
     pytest.skip('kernel not in the record')
   measured = float(entry['roofline_frac'])
-  stencil = corpus.build(name, **overrides)
+  stencil = corpus.build(meta.get('kernel', name), **overrides)
   ceiling = est.ceiling_frac(stencil, shape, model_params=_V5E)
   # 3% slack: the record is a measurement (tunnel jitter, compile-fleet
   # variance); a measured value meaningfully ABOVE the model ceiling
