@@ -139,6 +139,109 @@ def body_gstage(v):
   return lax.rsqrt(1.0 + du * du + dd * dd + dl * dl + dr * dr)
 
 
+def _rolls(v):
+  import jax.numpy as jnp
+  up = jnp.concatenate([v[1:], v[:1]], axis=0)
+  dn = jnp.concatenate([v[-1:], v[:-1]], axis=0)
+  lf = jnp.concatenate([v[:, 1:], v[:, :1]], axis=1)
+  rt = jnp.concatenate([v[:, -1:], v[:, :-1]], axis=1)
+  return up, dn, lf, rt
+
+
+def body_g_noroll(v):
+  """gstage with the 4 rolls removed (diffs against scaled v): the
+  gstage-minus-this delta is the pure shift tax at stage ILP."""
+  from jax import lax
+  du, dd, dl, dr = v - v * 0.5, v - v * 0.25, v - v * 0.75, v - v * 0.125
+  return lax.rsqrt(1.0 + du * du + dd * dd + dl * dl + dr * dr)
+
+
+def body_g_norsqrt(v):
+  """gstage with rsqrt replaced by an FMA: the gstage-minus-this delta
+  is the pure transcendental tax at stage ILP."""
+  up, dn, lf, rt = _rolls(v)
+  du, dd, dl, dr = v - up, v - dn, v - lf, v - rt
+  s = 1.0 + du * du + dd * dd + dl * dl + dr * dr
+  return s * 0.0625 + 0.125
+
+
+def _full2d(v, g_fn):
+  """The COMPLETE denoise2d per-cell update (both inputs = v; the
+  f-path costs the same arith), rolls CSE'd the way the production
+  value-mode executor does (one roll per distinct (tensor, offset))."""
+  import jax.numpy as jnp
+  up, dn, lf, rt = _rolls(v)
+  du, dd, dl, dr = v - up, v - dn, v - lf, v - rt
+  g = g_fn(1.0 + du * du + dd * dd + dl * dl + dr * dr)
+  gu, gd, gl, gr = _rolls(g)
+  r0 = v * v * 4.9
+  r1 = ((r0 * (2.5 + r0 * (10.2 + r0))) *
+        (4.3 + r0 * (5.4 + r0 * (6.3 + r0))))
+  num = v + 7.7 * (dn * gd + up * gu + rt * gr + lf * gl +
+                   5.7 * v * r1)
+  den = 11.1 + 7.7 * (gd + gu + gl + gr + 5.7)
+  out = num * den
+  # keep the chain bounded for 16k steps
+  return out * 1e-6 + 0.5
+
+
+def body_full2d(v):
+  from jax import lax
+  return _full2d(v, lax.rsqrt)
+
+
+def body_full2d_norsqrt(v):
+  return _full2d(v, lambda s: s * 0.0625 + 0.125)
+
+
+def body_full2d_noroll(v):
+  """full2d with every roll replaced by a scaled copy: the remaining
+  cost is the pure-arithmetic floor of the update."""
+  import jax.numpy as jnp
+  from jax import lax
+
+  def fake_rolls(x):
+    return x * 0.5, x * 0.25, x * 0.75, x * 0.125
+
+  up, dn, lf, rt = fake_rolls(v)
+  du, dd, dl, dr = v - up, v - dn, v - lf, v - rt
+  g = lax.rsqrt(1.0 + du * du + dd * dd + dl * dl + dr * dr)
+  gu, gd, gl, gr = fake_rolls(g)
+  r0 = v * v * 4.9
+  r1 = ((r0 * (2.5 + r0 * (10.2 + r0))) *
+        (4.3 + r0 * (5.4 + r0 * (6.3 + r0))))
+  num = v + 7.7 * (dn * gd + up * gu + rt * gr + lf * gl +
+                   5.7 * v * r1)
+  den = 11.1 + 7.7 * (gd + gu + gl + gr + 5.7)
+  return (num * den) * 1e-6 + 0.5
+
+
+def body_full3d(v):
+  """denoise3d's per-cell update shape: 6 neighbors (the 2 mid-axis
+  ones also lowered as rolls here — the bench kernel's axis-0/mid
+  reads are cheaper slab offsets, so this slightly OVERprices), one
+  rsqrt, TWO true divides (r1 and the output)."""
+  import jax.numpy as jnp
+  from jax import lax
+  up, dn, lf, rt = _rolls(v)
+  io = jnp.concatenate([v[2:], v[:2]], axis=0)
+  oi = jnp.concatenate([v[-2:], v[:-2]], axis=0)
+  du, dd, dl, dr = v - up, v - dn, v - lf, v - rt
+  di, do_ = v - io, v - oi
+  g = lax.rsqrt(0.00005 + du * du + dd * dd + dl * dl + dr * dr +
+                di * di + do_ * do_)
+  gu, gd, gl, gr = _rolls(g)
+  gi = jnp.concatenate([g[2:], g[:2]], axis=0)
+  go = jnp.concatenate([g[-2:], g[:-2]], axis=0)
+  r0 = v * v * (1.0 / 0.03)
+  r1 = ((r0 * (2.38944 + r0 * (0.950037 + r0))) /
+        (4.65314 + r0 * (2.57541 + r0 * (1.48937 + r0))))
+  num = v + 5.0 * (dn * gd + up * gu + rt * gr + lf * gl +
+                   io * gi + oi * go + (1.0 / 0.03) * v * r1)
+  den = 1.0 + 5.0 * (gd + gu + gl + gr + gi + go + (1.0 / 0.03))
+  return (num / den) * 1e-6 + 0.5
+
+
 def main():
   import jax
   import jax.numpy as jnp
@@ -160,21 +263,53 @@ def main():
       log('%-12s: FAILED %s' % (tag, first[:140]))
       return None
 
-  fma = run('fma10', body_fma10, 10)
-  run('muladd10', body_muladd10, 10)
-  div = run('div10', body_div10, 10)
-  run('recip10', body_recip10, 10)
-  run('sqrt10', body_sqrt10, 10)
-  rsq = run('rsqrt10', body_rsqrt10, 10)
-  run('recipsqrt10', body_recipsqrt10, 10)
+  if '--decompose' not in sys.argv:
+    fma = run('fma10', body_fma10, 10)
+    run('muladd10', body_muladd10, 10)
+    div = run('div10', body_div10, 10)
+    run('recip10', body_recip10, 10)
+    run('sqrt10', body_sqrt10, 10)
+    rsq = run('rsqrt10', body_rsqrt10, 10)
+    run('recipsqrt10', body_recipsqrt10, 10)
+    g = run('gstage', body_gstage, 1)
+    if None not in (fma, div, rsq, g):
+      # predicted gstage: 4 rolls (2 sublane d1 ~4.5-5.3 + 2 lane d1
+      # ~6-7 per exp24) + 4 sub + 4 mul + 4 add (FMA-contractable to
+      # ~8 slots at the fma rate) + 1 rsqrt
+      pred = 2 * 4.9 + 2 * 6.5 + 12 * fma + rsq
+      log('gstage predicted %.1f vs measured %.1f slots/cell'
+          % (pred, g))
+    return
+
+  # --decompose: the denoise plateau split into shift / transcendental
+  # / arithmetic-floor terms at real stage-level ILP
   g = run('gstage', body_gstage, 1)
-  if None not in (fma, div, rsq, g):
-    # predicted gstage: 4 rolls (2 sublane d1 ~4.5-5.3 + 2 lane d1
-    # ~6-7 per exp24) + 4 sub + 4 mul + 4 add (FMA-contractable to
-    # ~8 slots at the fma rate) + 1 rsqrt
-    pred = 2 * 4.9 + 2 * 6.5 + 12 * fma + rsq
-    log('gstage predicted %.1f vs measured %.1f slots/cell'
-        % (pred, g))
+  gnr = run('g_noroll', body_g_noroll, 1)
+  gns = run('g_norsqrt', body_g_norsqrt, 1)
+  f2 = run('full2d', body_full2d, 1)
+  f2ns = run('full2d_norsqrt', body_full2d_norsqrt, 1)
+  f2nr = run('full2d_noroll', body_full2d_noroll, 1)
+  f3 = run('full3d', body_full3d, 1)
+  if None not in (g, gnr, gns, f2, f2ns, f2nr):
+    log('g-stage: shift tax %.1f, rsqrt tax %.1f of %.1f total'
+        % (g - gnr, g - gns, g))
+    log('full2d: shift tax %.1f, rsqrt tax %.1f, arith floor %.1f '
+        'of %.1f total' % (f2 - f2nr, f2 - f2ns, f2nr, f2))
+  if f2 is not None:
+    cells2d = 8192.0 * 2048.0
+    # bench denoise2d: 3 f32 arrays of HBM traffic
+    dma_ms = 3 * cells2d * 4 / 819e9 * 1e3
+    comp_ms = f2 * cells2d / 3.9e12 * 1e3
+    log('denoise2d bound: DMA %.3f ms vs synthetic compute %.3f ms '
+        '-> best achievable frac %.3f (record 0.667)'
+        % (dma_ms, comp_ms, dma_ms / max(dma_ms, comp_ms)))
+  if f3 is not None:
+    cells3d = 2048.0 * 32 * 128
+    dma_ms = 3 * cells3d * 4 / 819e9 * 1e3
+    comp_ms = f3 * cells3d / 3.9e12 * 1e3
+    log('denoise3d bound: DMA %.3f ms vs synthetic compute %.3f ms '
+        '-> best achievable frac %.3f (record 0.737 in-process)'
+        % (dma_ms, comp_ms, dma_ms / max(dma_ms, comp_ms)))
 
 
 if __name__ == '__main__':

@@ -61,10 +61,16 @@ SHIFT_COST = {
     'roll': {'free': 0.0, 'sublane_aligned': 2.1, 'sublane': 5.0,
              'lane_aligned': 2.0, 'lane': 6.5},
 }
-# per-element costs of non-trivial arithmetic (same units); div is the
-# proven-exact f32 path (convert, divide, convert back)
+# per-element costs of non-trivial arithmetic (same units). exp45
+# measured serial-chain prices on v5e, normalized to add=1 via the
+# measured fma-pair chain (4.4 hw-slots per mul+add): float divide
+# 11.3 hw-slots -> ~5.1 units, rsqrt 9.35 / sqrt 10.0 -> ~4.3 units
+# (rsqrt is CHEAPER than divide on TPU; the old 8.0 overpriced it ~2x
+# and div's 3.0 underpriced). Mosaic does NOT fuse 1/sqrt -> rsqrt
+# (18.4 slots unfused), which is why semantics.py's fast_rsqrt rewrite
+# exists.
 OP_COST = {'add': 1.0, 'mul': 1.0, 'minmax': 1.0, 'other': 1.0,
-           'div': 3.0, 'transcendental': 8.0}
+           'div': 5.0, 'transcendental': 4.3}
 # stage boundary: result wrap/copy into its live value/slab
 STAGE_COST = 1.0
 
@@ -75,9 +81,12 @@ STAGE_COST = 1.0
 # quoted against the spec must allow the measured uplift.
 HBM_SPEC_UPLIFT = 1.2
 # optimistic per-op costs: div's exact f32 fast path and 2^k shift
-# rewrite can reach ~1 slot; transcendentals pipeline to ~4
+# rewrite can reach ~1 slot; transcendentals priced at exp45's measured
+# MARGINAL cost inside an ILP-rich stage (+2.7 hw-slots for the
+# g-stage rsqrt at fma-pair ~2 hw-slots -> ~1.4 units; the old 4.0 was
+# ABOVE the measured best, i.e. not an upper bound)
 CEIL_OP_COST = {'add': 1.0, 'mul': 1.0, 'minmax': 1.0, 'other': 1.0,
-                'div': 1.0, 'transcendental': 4.0}
+                'div': 1.0, 'transcendental': 1.4}
 # optimistic shift pricing: the cheapest measured lowering of each
 # class across ALL modes (rotate-mode in-register lane/sublane moves),
 # since a config is free to pick whichever mode is cheapest
