@@ -60,6 +60,21 @@ _VMEM_LIMIT = 16 * 1024 * 1024
 # Sublane tile: streaming-dim DMA offsets must be multiples of this.
 _ALIGN = 8
 
+# Roll-mode shifted-load CSE (exp46) — measured REFUTED as a default:
+# Mosaic already CSEs duplicate rolls (denoise2d re-rolls u at all 4
+# diff offsets and the memo is timing-neutral there), while the
+# Python-level memo actively HURTS small-block schedules by extending
+# live ranges (denoise3d peel+b16: 0.780 -> 0.600 frac). Kept as a
+# trace-time diagnostic flag; production traces with it OFF and relies
+# on Mosaic's CSE.
+_ROLL_CSE = False
+# Trace-time tally of shifted-load duplication (diagnostics + the
+# regression test that pins the counting): computed = distinct
+# (tensor, offset) loads, reused = duplicate loads observed (served
+# from the memo only when _ROLL_CSE is on; otherwise re-rolled and
+# left for Mosaic's own CSE, which exp46 measured as just as good).
+_ROLL_STATS = {'computed': 0, 'reused': 0}
+
 
 def _axis0_align(dim: int) -> int:
   """Alignment unit for streaming-axis (array axis 0) DMA offsets.
@@ -1055,6 +1070,16 @@ class PallasExecutor:
         stage_vals_T: Dict[str, object] = {}
         input_vals: Dict[str, object] = {}
         input_vals_nw: Dict[str, object] = {}
+        # Roll-mode shifted-load memo: (tensor, per-axis delta) -> the
+        # rolled full-extent value, shared ACROSS consumer stages within
+        # one step (keys are delta-based, so stages with different
+        # st_idx share correctly). exp46 measured the memo REFUTED as a
+        # default — Mosaic already CSEs duplicate rolls (neutral on
+        # denoise2d/xcorr where duplicates exist) and the memo's longer
+        # live ranges cost -23% on denoise3d peel+b16 — so _ROLL_CSE
+        # stays off and the dict serves as the duplication tally.
+        roll_cache: Dict[tuple, object] = {}
+        roll_cache_T: Dict[tuple, object] = {}
 
         def parent_val(name):
           if name in stage_vals:
@@ -1204,27 +1229,43 @@ class PallasExecutor:
             def load(ref: ir.Ref, _st=st_idx):
               if ref.name in stencil.param_names:
                 return params[ref.name][tuple(ref.idx)]
-              v = parent_val_full_T(ref.name)
               lane_delta = ref.idx[0] - _st[0]
+              sub_delta = ref.idx[1] - _st[1]
+              key = (ref.name, lane_delta, sub_delta)
+              if key in roll_cache_T:
+                _ROLL_STATS['reused'] += 1
+                if _ROLL_CSE:
+                  return roll_cache_T[key]
+              else:
+                _ROLL_STATS['computed'] += 1
+              v = parent_val_full_T(ref.name)
               if lane_delta:
                 v = axis_roll(v, lane_delta, 0)
-              sub_delta = ref.idx[1] - _st[1]
               if sub_delta:
                 v = lane_roll(v, sub_delta)
+              roll_cache_T[key] = v
               return v
           elif value_mode and roll_mode:
             def load(ref: ir.Ref, _st=st_idx):
               if ref.name in stencil.param_names:
                 return params[ref.name][tuple(ref.idx)]
+              deltas = tuple(ref.idx[d] - _st[d] for d in range(dim))
+              key = (ref.name, deltas)
+              if key in roll_cache:
+                _ROLL_STATS['reused'] += 1
+                if _ROLL_CSE:
+                  return roll_cache[key]
+              else:
+                _ROLL_STATS['computed'] += 1
               v = parent_val_full(ref.name)
               for a in range(dim - 1):
                 d = dim - 1 - a
-                delta = ref.idx[d] - _st[d]
+                delta = deltas[d]
                 if delta:
                   v = axis_roll(v, delta, a)
-              lane_delta = ref.idx[0] - _st[0]
-              if lane_delta:
-                v = lane_roll(v, lane_delta)
+              if deltas[0]:
+                v = lane_roll(v, deltas[0])
+              roll_cache[key] = v
               return v
           elif value_mode and stage.name in transposed:
             # transposed-region stage: identical slicing math with the

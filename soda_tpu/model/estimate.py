@@ -200,6 +200,15 @@ def op_model(stencil, plan, lanes: Optional[int] = None,
            'transcendental': 0.0, 'other': 0.0}
   shifts = dict.fromkeys(costs, 0)
   fma_fusable = 0.0
+  # Roll-mode values are full-slab-extent, so a duplicate (tensor,
+  # offset) load in a LATER stage is the byte-identical rotate — and
+  # exp46 measured that Mosaic CSEs those duplicates itself (a Python-
+  # level memo was timing-neutral on denoise2d/xcorr where duplicates
+  # exist). The model therefore dedups globally in roll mode (and in
+  # the ceiling, which prices the cheapest lowering). Slice/rotate
+  # loads are cut to the consumer stage's own region, so cross-stage
+  # duplicates are not byte-identical and dedup stays per-stage.
+  global_seen = set() if mode in ('roll', 'ceiling') else None
   for stage in plan.stages:
     counts = _stage_op_counts(stage.tensor)
     for key, cnt in counts.items():
@@ -220,7 +229,7 @@ def op_model(stencil, plan, lanes: Optional[int] = None,
         or mode == 'ceiling'):
       fma_fusable += min(counts['add'], counts['mul'])
     st_idx = stage.tensor.st_idx
-    seen = set()
+    seen = set() if global_seen is None else global_seen
     for parent, refs in stage.tensor.ld_refs.items():
       if parent in stencil.param_names:
         continue

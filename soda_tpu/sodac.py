@@ -154,7 +154,12 @@ def _parse_kernel_opts(pairs):
 
 
 def _parse_ints(text: str):
-  return tuple(int(x) for x in text.split(','))
+  try:
+    return tuple(int(x) for x in text.split(','))
+  except ValueError:
+    raise utils.InputError(
+        'expected comma-separated integers (e.g. 1000,1000), got %r'
+        % text) from None
 
 
 def _probe_device(timeout_s: float):
@@ -170,6 +175,16 @@ def _default_shape(stencil):
 
 
 def main(argv: Optional[list] = None) -> int:
+  """CLI entry; user-input errors exit 1 with a one-line message
+  (reference sodac exits 1 on SemanticError, soda/sodac.py:146-152)."""
+  try:
+    return _main(argv)
+  except utils.InputError as e:
+    print('sodac-tpu: error: %s' % e, file=sys.stderr)
+    return 1
+
+
+def _main(argv: Optional[list] = None) -> int:
   parser = _build_parser()
   args = parser.parse_args(argv)
   sys.setrecursionlimit(args.recursion_limit)

@@ -391,6 +391,41 @@ def test_roll_shift_mode_matches_oracle(name, ov):
         stencil.symbol_table[out].is_float, f'{name}:roll')
 
 
+def test_roll_shifted_load_cse():
+  """Roll-mode duplicate-load accounting (exp46): denoise2d's output
+  stage re-reads u at all 4 diff-stage offsets. The Python-level memo
+  that would dedup them is measured REFUTED as a default (Mosaic CSEs
+  the duplicates itself; the memo's longer live ranges cost -23% on
+  denoise3d peel+b16), so production traces with _ROLL_CSE off and
+  this test pins (a) the duplication tally the model's global dedup
+  relies on and (b) bit-exactness with the memo forced ON."""
+  from soda_tpu.backend import pallas_kernel as pk
+
+  def run(name, shape):
+    stencil = corpus.build(name)
+    inputs = reference.make_test_inputs(stencil, shape)
+    pk._ROLL_STATS.update(computed=0, reused=0)
+    ex = PallasExecutor(stencil, shape, stage_mode='value',
+                        shift_mode='roll', block_rows=32)
+    got = ex(inputs)  # jit is lazy; tracing (and the tally) happen here
+    return got, dict(pk._ROLL_STATS)
+
+  base, s = run('denoise2d', (64, 128))
+  # 4 distinct u offsets re-read by the output stage, per store class
+  assert s['reused'] >= 4, s
+  _, s = run('jacobi2d', (64, 128))
+  assert s['reused'] == 0, s
+
+  assert pk._ROLL_CSE is False  # exp46: refuted default
+  try:
+    pk._ROLL_CSE = True
+    memo, _ = run('denoise2d', (64, 128))
+    np.testing.assert_array_equal(np.asarray(memo['output']),
+                                  np.asarray(base['output']))
+  finally:
+    pk._ROLL_CSE = False
+
+
 def test_roll_shift_requires_value_mode():
   stencil = corpus.build('blur', tile_size=(128, 0))
   with pytest.raises(Exception, match='shift_mode=roll'):
