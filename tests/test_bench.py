@@ -238,3 +238,76 @@ def test_persist_completeness_ignores_meta_keys():
   n_kernels = sum(1 for k in details if not k.startswith('_'))
   assert len(details) != len(bench.CONFIGS)  # the bug shape
   assert n_kernels == len(bench.CONFIGS)
+
+
+def test_redraw_candidates_pick_worst_gaps_pallas_only():
+  """exp48: the compile-lottery redraw pass targets Pallas-final
+  kernels recording >=10% below best-known, worst gap first, capped;
+  XLA-adopted kernels (deterministic compile) are excluded."""
+  best_known = {'a': 0.9, 'b': 0.9, 'c': 0.9, 'd': 0.9, 'e': 0.9}
+  details = {
+      'a': {'roofline_frac': 0.45},   # gap 2.0
+      'b': {'roofline_frac': 0.60},   # gap 1.5
+      'c': {'roofline_frac': 0.86},   # gap 1.05 < 1.10 -> out
+      'd': {'roofline_frac': 0.30},   # gap 3.0 but XLA-adopted -> out
+      'e': {'roofline_frac': 0.70},   # gap 1.29
+      'f': {'roofline_frac': 0.10},   # no best-known -> out
+      '_meta': 0.5,
+  }
+  states = {n: {'final_cfg': {}} for n in 'abcef'}
+  states['d'] = {'final_cfg': None}
+  got = bench._redraw_candidates(details, states, best_known=best_known)
+  assert got == ['a', 'b', 'e']
+  got2 = bench._redraw_candidates(details, states,
+                                  best_known=best_known, limit=2)
+  assert got2 == ['a', 'b']
+
+
+def test_adopt_redraw_rescales_all_rate_fields():
+  det = {'roofline_frac': 0.5, 'gbps': 400.0, 'cells_per_s': 1e10,
+         'ms': 0.4, 'speedup_vs_xla': 2.0}
+  bench._adopt_redraw(det, 0.2)
+  assert det['ms'] == 0.2
+  assert det['roofline_frac'] == 1.0
+  assert det['gbps'] == 800.0
+  assert det['cells_per_s'] == 2e10
+  assert det['speedup_vs_xla'] == 4.0
+
+
+def test_best_known_names_are_configs_rows():
+  names = {row[0] for row in bench.CONFIGS}
+  assert set(bench.BEST_KNOWN) <= names
+
+
+def test_redraw_pass_adopts_only_faster_draws(monkeypatch):
+  """Orchestration: a >=3% faster subprocess draw is folded in (and
+  annotated), a slower one leaves the row untouched; the early-exit
+  fires once within 5% of best-known."""
+  import subprocess as sp
+
+  details = {'denoise2d': {'roofline_frac': 0.60, 'gbps': 491.0,
+                           'cells_per_s': 1e10, 'ms': 0.410,
+                           'speedup_vs_xla': 1.9}}
+  states = {'denoise2d': {'final_cfg': {'block_rows': 128}}}
+  draws = iter([0.420, 0.290])  # slow draw, then a fast one
+
+  class R:
+    def __init__(self, ms):
+      self.stdout = json.dumps({'ok': True, 'ms': ms})
+
+  calls = []
+
+  def fake_run(cmd, **kw):
+    assert cmd[2] == '--redraw' and cmd[3] == 'denoise2d'
+    assert json.loads(cmd[4]) == {'block_rows': 128}
+    ms = next(draws)
+    calls.append(ms)
+    return R(ms)
+
+  monkeypatch.setattr(sp, 'run', fake_run)
+  bench.redraw_pass(details, states)
+  det = details['denoise2d']
+  assert calls == [0.420, 0.290]      # slow draw not adopted, retried
+  assert det['ms'] == 0.290
+  assert det['roofline_frac'] == round(0.60 * 0.410 / 0.290, 4)
+  assert det['compile_draws'] == 3    # parent compile + 2 draws
