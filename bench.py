@@ -608,11 +608,11 @@ BEST_KNOWN = {
 }
 
 _REDRAW_BUDGET_S = float(
-    __import__('os').environ.get('BENCH_REDRAW_S', '600'))
+    __import__('os').environ.get('BENCH_REDRAW_S', '900'))
 
 
 def _redraw_candidates(details, states_by_name,
-                       best_known=None, min_gap=1.10, limit=3):
+                       best_known=None, min_gap=1.10, limit=6):
   """Kernels worth a compile redraw: Pallas-final (XLA adoption is
   deterministic), recorded >=min_gap below best-known, biggest
   relative gap first."""

@@ -334,8 +334,9 @@ class PallasExecutor:
     # round run `experiments/exp12_mosaic_reprobe.py native swar`
     # (i16 min/max/mul legality — a fixed native i16 min alone is ~2x
     # on erosion) and exp13/exp14 (vreg packing: narrow wins only
-    # when i16 packs 2/lane). Last re-probe 2026-08-19: min/max/mul
-    # still crash; SWAR i16x2 min regressed to crashing.
+    # when i16 packs 2/lane). Last re-probe 2026-08-21 (third fleet
+    # day in a row): i16 min/max crash, i16 mul SIGABRTs, u16 min and
+    # SWAR i16x2 min crash; i16 add and the SWAR guarded-add pass.
     self.narrow = narrow
     # out_dma: bypass the Pallas output-block pipeline — outputs stay
     # HBM refs and each grid step DMAs its finished block out of a
