@@ -465,6 +465,7 @@ def refine_kernel(state, peak_gbps, compare_xla=True):
     # always record THIS run's winner: keeping a historical best-ever
     # ms lets one fluke measurement pin a bad config forever, while
     # the latest measured winner self-corrects next run
+    old = ttable.get(tkey, {})
     ttable[tkey] = {'stencil': stencil.app_name, 'shape': list(shape),
                     'device': getattr(jax.devices()[0], 'device_kind',
                                       '?'),
@@ -473,6 +474,11 @@ def refine_kernel(state, peak_gbps, compare_xla=True):
                     # exactly what was timed ({} = plain defaults won)
                     'config': best_cfg,
                     'ms': round(dt * 1e3, 4)}
+    # the redraw pass's persisted lottery seed survives the rewrite
+    # (validity vs the current config is checked at use time)
+    for extra in ('hashseed', 'hashseed_ms', 'hashseed_cfg'):
+      if extra in old:
+        ttable[tkey][extra] = old[extra]
     autotune._store(tpath, ttable)
   except OSError:
     pass
@@ -592,12 +598,14 @@ def bench_kernel(name, shape, overrides, peak_gbps, seeds=(),
 # Best-known roofline fractions per kernel (in-process measurements,
 # experiments/ ledger) — the compile-REDRAW pass re-rolls the Mosaic
 # compile lottery for kernels recording far below these. exp48 proved
-# the lottery is real and per-PROCESS: the remote Mosaic compile is
-# nondeterministic for some kernels (denoise2d: 4 distinct binaries in
-# 4 fresh processes, 31% timing spread, fast draw 0.822 frac) and
-# in-process rebuilds always reproduce the process's draw (5/5
-# identical binaries), so a fresh SUBPROCESS is the only way to draw
-# again. Only kernels with a measured gap worth a ~2 min draw appear.
+# the lottery is real and per-PROCESS (denoise2d: 4 distinct binaries
+# in 4 fresh processes, 31% timing spread, fast draw 0.822 frac;
+# in-process rebuilds sticky), and exp51 found its SOURCE: Python
+# hash randomization in the lowering — the same PYTHONHASHSEED
+# produces byte-identical StableHLO and an identical executable, so
+# redraw children pin seeds (persisted winner first) instead of
+# rolling blind. Only kernels with a measured gap worth a ~2 min
+# draw appear.
 BEST_KNOWN = {
     'blur': 0.958,        # exp36 roll-b640
     'erosion': 0.498,     # r4 b512 unlock
@@ -668,17 +676,45 @@ def _redraw_child(name, cfg):
   print(json.dumps({'ok': True, 'ms': dt * 1e3}))
 
 
+def _redraw_seeds(entry, final_cfg):
+  """Hash seeds for a kernel's redraw children, best-first.
+
+  exp51: the compile lottery IS Python hash randomization — the same
+  PYTHONHASHSEED lowers byte-identical StableHLO and compiles an
+  identical executable, so a previously-adopted seed re-lands its fast
+  binary deterministically. The persisted seed only applies to the
+  config it was measured with; fresh random seeds explore otherwise.
+  """
+  import random
+  persisted = entry.get('hashseed')
+  if persisted is not None and entry.get('hashseed_cfg') != final_cfg:
+    persisted = None
+  fresh = [random.randrange(1, 2**31) for _ in range(3)]
+  if persisted is not None:
+    return [persisted] + fresh[:2]
+  return fresh[:2]
+
+
 def redraw_pass(details, states_by_name):
-  """Budget-bounded compile-lottery redraws (exp48): re-measure the
-  final config of the worst gap-to-best-known kernels in fresh
-  subprocesses, adopting any draw >=3% faster."""
+  """Budget-bounded compile-lottery redraws (exp48/exp51): re-measure
+  the final config of the worst gap-to-best-known kernels in fresh
+  subprocesses, each pinned to a PYTHONHASHSEED (persisted winning
+  seed first, then fresh random draws), adopting any draw >=3% faster
+  and persisting the adopted seed for deterministic re-landing."""
+  import os
   import subprocess
+  from soda_tpu.tools import autotune
   deadline = time.monotonic() + _REDRAW_BUDGET_S
   for name in _redraw_candidates(details, states_by_name):
     st = states_by_name[name]
     det = details[name]
+    try:
+      entry = autotune._load(st['tpath']).get(st['tkey'], {})
+    except Exception:  # noqa: BLE001 - cache is advisory
+      entry = {}
     draws = 0
-    for _ in range(2):
+    adopted_seed = None
+    for hs in _redraw_seeds(entry, st['final_cfg']):
       left = deadline - time.monotonic()
       if left < 60:
         break
@@ -686,7 +722,8 @@ def redraw_pass(details, states_by_name):
              json.dumps(st['final_cfg'])]
       try:
         r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=min(left, 420))
+                           timeout=min(left, 420),
+                           env=dict(os.environ, PYTHONHASHSEED=str(hs)))
         out = json.loads(r.stdout.strip().splitlines()[-1])
       except Exception as e:  # noqa: BLE001 - draws are best-effort
         log('%s: redraw failed (%s)' % (name, _exc1(e)))
@@ -696,16 +733,28 @@ def redraw_pass(details, states_by_name):
         log('%s: redraw child reported %s' % (name, out.get('error')))
         break
       new_ms = out['ms']
-      log('%s: redraw #%d measured %.3f ms (recorded %.3f)' %
-          (name, draws, new_ms, det['ms']))
+      log('%s: redraw #%d (hashseed %d) measured %.3f ms '
+          '(recorded %.3f)' % (name, draws, hs, new_ms, det['ms']))
       if new_ms < det['ms'] * 0.97:
         _adopt_redraw(det, new_ms)
+        adopted_seed = hs
         log('%s: redraw adopted (%.4f roofline)' %
             (name, det['roofline_frac']))
       if det['roofline_frac'] >= BEST_KNOWN[name] * 0.95:
         break
     if draws:
       det['compile_draws'] = draws + 1
+    if adopted_seed is not None:
+      det['hashseed'] = adopted_seed
+      try:
+        ttable = autotune._load(st['tpath'])
+        if st['tkey'] in ttable:
+          ttable[st['tkey']].update(
+              hashseed=adopted_seed, hashseed_ms=det['ms'],
+              hashseed_cfg=st['final_cfg'])
+          autotune._store(st['tpath'], ttable)
+      except (OSError, KeyError):
+        pass
 
 
 def _probe_devices(timeout_s: float):

@@ -311,3 +311,54 @@ def test_redraw_pass_adopts_only_faster_draws(monkeypatch):
   assert det['ms'] == 0.290
   assert det['roofline_frac'] == round(0.60 * 0.410 / 0.290, 4)
   assert det['compile_draws'] == 3    # parent compile + 2 draws
+
+
+def test_redraw_seeds_persisted_first_config_gated():
+  """exp51: a persisted winning hash seed leads the sweep, but only
+  when it was measured with the SAME final config; otherwise the
+  sweep is fresh random seeds (bounded count, valid hashseed range)."""
+  cfg = {'block_rows': 128}
+  entry = {'hashseed': 7, 'hashseed_cfg': cfg}
+  seeds = bench._redraw_seeds(entry, cfg)
+  assert seeds[0] == 7 and len(seeds) == 3
+  seeds = bench._redraw_seeds({'hashseed': 7, 'hashseed_cfg': {}}, cfg)
+  assert 7 not in seeds[:1] and len(seeds) == 2
+  seeds = bench._redraw_seeds({}, cfg)
+  assert len(seeds) == 2
+  assert all(1 <= s < 2**31 for s in seeds)
+
+
+def test_redraw_pass_pins_hashseed_env_and_persists(monkeypatch,
+                                                    tmp_path):
+  """Each redraw child gets PYTHONHASHSEED; an adopted draw's seed is
+  persisted to the tune cache (with its config) and annotated."""
+  import subprocess as sp
+  from soda_tpu.tools import autotune
+
+  tpath = tmp_path / 'tune.json'
+  tpath.write_text(json.dumps({'k1': {'config': {'block_rows': 128},
+                                      'ms': 0.5}}))
+  details = {'denoise2d': {'roofline_frac': 0.60, 'gbps': 491.0,
+                           'cells_per_s': 1e10, 'ms': 0.410,
+                           'speedup_vs_xla': 1.9}}
+  states = {'denoise2d': {'final_cfg': {'block_rows': 128},
+                          'tkey': 'k1', 'tpath': str(tpath)}}
+  envs = []
+
+  class R:
+    stdout = json.dumps({'ok': True, 'ms': 0.290})
+
+  def fake_run(cmd, **kw):
+    envs.append(kw['env'].get('PYTHONHASHSEED'))
+    return R()
+
+  monkeypatch.setattr(sp, 'run', fake_run)
+  bench.redraw_pass(details, states)
+  det = details['denoise2d']
+  assert det['ms'] == 0.290
+  assert len(envs) == 1 and envs[0] is not None
+  assert det['hashseed'] == int(envs[0])
+  saved = json.loads(tpath.read_text())['k1']
+  assert saved['hashseed'] == int(envs[0])
+  assert saved['hashseed_cfg'] == {'block_rows': 128}
+  assert saved['hashseed_ms'] == 0.290
