@@ -613,6 +613,16 @@ BEST_KNOWN = {
     'denoise2d': 0.882,   # exp46/exp48 fast draws
     'denoise3d': 0.737,   # exp41 (at its exp45 compute ceiling)
     'jacobi3d_256': 0.673,  # exp39/40
+    # the rest protect against a BAD parent draw (exp51: the parent's
+    # own unpinned hash seed is a lottery ticket too): values are the
+    # kernels' best recorded fractions, so a >=1.10x-below draw — not
+    # normal fleet wobble — triggers the redraw rescue
+    'jacobi2d': 0.662,    # 08-21 record
+    'jacobi3d': 1.036,    # 08-21 record
+    'heat3d': 1.017,      # 08-21 record
+    'seidel2d': 0.704,    # 08-21 record
+    'xcorr': 0.392,       # 08-21 record (exp38 b352)
+    'contrast': 0.113,    # 08-21 record (cr-cost=tpu)
 }
 
 _REDRAW_BUDGET_S = float(
